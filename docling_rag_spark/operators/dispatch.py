@@ -1,0 +1,62 @@
+"""Per-row format dispatch + parse -> (format, blocks, status, error).
+
+Replaces the reference's extension gate (core/parser.py:93-97, S2) with
+content sniffing — Common-Crawl rows have no file suffix. Unsupported or
+broken rows fail SOFT: they become (status='error', 0 chunks) and are counted
+in lineage, never aborting the batch — the reference's two-tier error
+taxonomy (core/indexer.py:112-116, Q5). Only infrastructure errors are left
+to propagate (Spark task retry handles those).
+"""
+
+from __future__ import annotations
+
+import re
+
+from docling_rag_spark.operators.blocks import Block
+from docling_rag_spark.operators.extract_html import extract_html
+from docling_rag_spark.operators.extract_markdown import extract_markdown
+from docling_rag_spark.operators.extract_pdf import extract_pdf
+
+_HTML_SNIFF_RE = re.compile(
+    rb"^\s*(?:<!doctype\s+html|<html\b|<head\b|<body\b)", re.IGNORECASE
+)
+_HTML_TAG_RE = re.compile(rb"<(?:p|div|h[1-6]|article|section|table|a)\b", re.IGNORECASE)
+
+
+def sniff_format(html: bytes | None, text: str | None) -> str:
+    """'pdf' | 'html' | 'markdown' | 'empty' | 'unsupported'."""
+    if html:
+        if html.startswith(b"%PDF-"):
+            return "pdf"
+        head = html[:4096]
+        if _HTML_SNIFF_RE.search(head) or _HTML_TAG_RE.search(head):
+            return "html"
+        try:
+            head.decode("utf-8")
+        except UnicodeDecodeError:
+            return "unsupported"
+        return "markdown"
+    if text and text.strip():
+        return "markdown"  # WET-style pre-extracted text / markdown
+    return "empty"
+
+
+def parse_document(html: bytes | None, text: str | None
+                   ) -> tuple[str, list[Block], str, str | None]:
+    """Returns (format, blocks, status, error). Never raises on row data."""
+    fmt = sniff_format(html, text)
+    try:
+        if fmt == "pdf":
+            blocks = extract_pdf(html)  # type: ignore[arg-type]
+        elif fmt == "html":
+            blocks = extract_html(html.decode("utf-8", errors="replace"))  # type: ignore[union-attr]
+        elif fmt == "markdown":
+            src = html.decode("utf-8") if html else (text or "")
+            blocks = extract_markdown(src)
+        elif fmt == "empty":
+            return fmt, [], "ok", None   # empty doc: 0 chunks, still counted ok
+        else:
+            return fmt, [], "error", f"unsupported format"
+        return fmt, blocks, "ok", None
+    except Exception as exc:  # row-level fail-soft (reference indexer.py:114-116)
+        return fmt, [], "error", f"{type(exc).__name__}: {exc}"

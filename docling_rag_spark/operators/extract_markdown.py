@@ -1,0 +1,94 @@
+"""Markdown / plain-text -> Block list.
+
+Covers the reference's ``.md`` input path (core/parser.py:9; the Docling
+markdown backend produced heading/code/table/text items which HybridChunker
+consumed — reference e2e fixture tests/test_integration.py:22-27). From
+scratch: ATX headings, fenced code, pipe tables, lists, paragraphs.
+
+Deterministic normalization: paragraph soft-wraps join with a single space;
+list items join with newlines; code fences keep inner text verbatim (fence
+markers excluded); table rows keep their raw pipe lines.
+"""
+
+from __future__ import annotations
+
+import re
+
+from docling_rag_spark.operators.blocks import Block
+
+_HEADING_RE = re.compile(r"^(#{1,6})\s+(.*?)\s*#*\s*$")
+_FENCE_RE = re.compile(r"^(```|~~~)\s*(\S*)\s*$")
+_TABLE_RE = re.compile(r"^\s*\|.*\|\s*$")
+_LIST_RE = re.compile(r"^\s*(?:[-*+]|\d+[.)])\s+(.*)$")
+
+
+def extract_markdown(text: str) -> list[Block]:
+    blocks: list[Block] = []
+    lines = text.split("\n")
+    i, n = 0, len(lines)
+    para: list[str] = []
+    items: list[str] = []
+
+    def flush_para() -> None:
+        if para:
+            blocks.append(Block("text", " ".join(para)))
+            para.clear()
+
+    def flush_items() -> None:
+        if items:
+            blocks.append(Block("text", "\n".join(items)))
+            items.clear()
+
+    while i < n:
+        line = lines[i]
+        stripped = line.strip()
+
+        fence = _FENCE_RE.match(stripped)
+        if fence:
+            flush_para(); flush_items()
+            marker = fence.group(1)
+            i += 1
+            code: list[str] = []
+            while i < n and lines[i].strip() != marker:
+                code.append(lines[i])
+                i += 1
+            i += 1  # skip closing fence (or EOF)
+            body = "\n".join(code).strip("\n")
+            if body.strip():
+                blocks.append(Block("code", body))
+            continue
+
+        if not stripped:
+            flush_para(); flush_items()
+            i += 1
+            continue
+
+        m = _HEADING_RE.match(stripped)
+        if m:
+            flush_para(); flush_items()
+            blocks.append(Block("heading", m.group(2), level=len(m.group(1))))
+            i += 1
+            continue
+
+        if _TABLE_RE.match(line):
+            flush_para(); flush_items()
+            rows: list[str] = []
+            while i < n and _TABLE_RE.match(lines[i]):
+                rows.append(lines[i].strip())
+                i += 1
+            blocks.append(Block("table", "\n".join(rows)))
+            continue
+
+        m = _LIST_RE.match(line)
+        if m:
+            flush_para()
+            items.append(m.group(1).strip())
+            i += 1
+            continue
+
+        flush_items()
+        para.append(stripped)
+        i += 1
+
+    flush_para(); flush_items()
+    return blocks

@@ -1,0 +1,44 @@
+from docling_rag_spark.operators.extract_markdown import extract_markdown
+from docling_rag_spark.sources.fixtures import E2E_MARKDOWN
+
+
+def kinds(blocks):
+    return [(b.kind, b.level) if b.kind == "heading" else b.kind for b in blocks]
+
+
+def test_e2e_fixture_blocks():
+    blocks = extract_markdown(E2E_MARKDOWN)
+    assert kinds(blocks) == [("heading", 1), "text", ("heading", 2), "code"]
+    assert blocks[0].text == "Database Architecture"
+    assert blocks[1].text == "The DWH uses a star schema with fact and dimension tables."
+    assert blocks[2].text == "SQL Example"
+    assert blocks[3].text == "SELECT customer_id, SUM(amount)\nFROM fact_sales\nGROUP BY customer_id;"
+
+
+def test_paragraph_softwrap_joined():
+    blocks = extract_markdown("line one\nline two\n\nnext para\n")
+    assert [b.text for b in blocks] == ["line one line two", "next para"]
+
+
+def test_table_block():
+    md = "| a | b |\n|---|---|\n| 1 | 2 |\n"
+    blocks = extract_markdown(md)
+    assert len(blocks) == 1 and blocks[0].kind == "table"
+    assert blocks[0].text == "| a | b |\n|---|---|\n| 1 | 2 |"
+
+
+def test_list_items_one_block():
+    blocks = extract_markdown("- first item\n- second item\n1. third\n")
+    assert len(blocks) == 1 and blocks[0].kind == "text"
+    assert blocks[0].text == "first item\nsecond item\nthird"
+
+
+def test_unclosed_fence_tolerated():
+    blocks = extract_markdown("```\ncode here\n")
+    assert [b.kind for b in blocks] == ["code"]
+    assert blocks[0].text == "code here"
+
+
+def test_empty_doc():
+    assert extract_markdown("") == []
+    assert extract_markdown("\n\n  \n") == []
