@@ -1,0 +1,167 @@
+"""The batch extraction job: pages -> chunks/extracted tables + lineage.
+
+Replaces the reference's sequential indexing loop + postgres job queue
+(core/indexer.py:41-117, worker/runner.py:97-119) with:
+
+  scan pages -> assign bucket = pmod(xxhash64(url), N)
+             -> anti-join buckets against committed lineage (resume, J3)
+             -> per bucket-batch: salted repartition -> fused parse+chunk
+                mapInPandas -> stage parquet partitioned by bucket
+             -> atomic bucket-directory commit + lineage append
+
+Unit of checkpointing = url-hash bucket (not file): a rerun after a crash
+reprocesses only buckets without a committed lineage row for the input
+snapshot id. Row-level failures never abort the job — they surface as
+``status='error'`` rows counted in ``failure_count`` (the reference's
+fail-soft tier, core/indexer.py:114-116); infrastructure failures abort the
+Spark task and are retried by the scheduler (fail-hard tier).
+
+At 100 TB: the input would be an Iceberg table bucketed by url so each batch
+prunes to its buckets at scan time; here the pages parquet is re-scanned per
+batch (cheap relative to parse) with the bucket filter applied before the
+expensive UDF stage.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from docling_rag_spark.config import (
+    CHUNK_MAX_TOKENS,
+    DEFAULT_NUM_BUCKETS,
+    DEFAULT_SALT_PARTITIONS,
+)
+from docling_rag_spark.io import warehouse as wh
+from docling_rag_spark.operators.pipeline import (
+    chunks_table,
+    extract_documents,
+    extracted_table,
+)
+
+
+@dataclass
+class ExtractionReport:
+    """Job-level counters (the reference's IndexReport, core/indexer.py:32-38)."""
+    snapshot_id: str
+    buckets_total: int
+    buckets_skipped: int
+    buckets_done: int
+    doc_count: int = 0
+    chunk_count: int = 0
+    failure_count: int = 0
+    batches: list[list[int]] = field(default_factory=list)
+
+
+def bucket_of(url_col, num_buckets: int):
+    return F.pmod(F.xxhash64(url_col), F.lit(num_buckets)).cast("int")
+
+
+def run_extraction(
+    spark: SparkSession,
+    pages_path: str,
+    out_dir: str,
+    snapshot_id: str = "snap-0",
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    buckets_per_batch: int | None = None,
+    max_tokens: int = CHUNK_MAX_TOKENS,
+    salt_partitions: int = DEFAULT_SALT_PARTITIONS,
+    _fail_after_batches: int | None = None,
+) -> ExtractionReport:
+    """Run (or resume) the extraction job. Idempotent per snapshot_id."""
+    pages = spark.read.parquet(pages_path)
+
+    done = wh.completed_buckets(out_dir, snapshot_id)
+    todo = [b for b in range(num_buckets) if b not in done]
+    report = ExtractionReport(
+        snapshot_id=snapshot_id,
+        buckets_total=num_buckets,
+        buckets_skipped=len(done),
+        buckets_done=0,
+    )
+    if not todo:
+        return report
+
+    step = buckets_per_batch or len(todo)
+    batches = [todo[i:i + step] for i in range(0, len(todo), step)]
+    staging_root = os.path.join(out_dir, "_staging")
+
+    for batch_idx, batch in enumerate(batches):
+        started = wh.now()
+        staging = os.path.join(staging_root, f"{snapshot_id}-{batch_idx}")
+        shutil.rmtree(staging, ignore_errors=True)
+
+        sub = pages.withColumn("bucket", bucket_of(F.col("url"), num_buckets))
+        if len(batch) < num_buckets:
+            sub = sub.filter(F.col("bucket").isin(batch))
+
+        docs = extract_documents(
+            sub, max_tokens=max_tokens, salt_partitions=salt_partitions,
+        ).withColumn("bucket", bucket_of(F.col("url"), num_buckets))
+        docs.persist()
+        try:
+            (chunks_table(docs)
+             .withColumn("bucket", bucket_of(F.col("url"), num_buckets))
+             .write.partitionBy("bucket").mode("overwrite")
+             .parquet(os.path.join(staging, "chunks")))
+            (extracted_table(docs)
+             .withColumn("bucket", bucket_of(F.col("url"), num_buckets))
+             .write.partitionBy("bucket").mode("overwrite")
+             .parquet(os.path.join(staging, "extracted")))
+
+            stats = {
+                row["bucket"]: row
+                for row in docs.groupBy("bucket").agg(
+                    F.count("*").alias("docs"),
+                    F.sum(F.size("chunks")).alias("chunks"),
+                    F.sum(F.when(F.col("status") == "error", 1)
+                          .otherwise(0)).alias("failures"),
+                ).collect()
+            }
+        finally:
+            docs.unpersist()
+
+        wh.commit_buckets(os.path.join(staging, "chunks"),
+                          os.path.join(out_dir, "chunks"), batch)
+        wh.commit_buckets(os.path.join(staging, "extracted"),
+                          os.path.join(out_dir, "extracted"), batch)
+        shutil.rmtree(staging, ignore_errors=True)
+
+        finished = wh.now()
+        lineage_rows = []
+        for b in batch:
+            s = stats.get(b)
+            lineage_rows.append({
+                "input_snapshot_id": snapshot_id,
+                "bucket": b,
+                "doc_count": int(s["docs"]) if s else 0,
+                "chunk_count": int(s["chunks"] or 0) if s else 0,
+                "failure_count": int(s["failures"]) if s else 0,
+                "started_at": started,
+                "finished_at": finished,
+            })
+        wh.append_lineage(out_dir, snapshot_id, lineage_rows)
+
+        report.buckets_done += len(batch)
+        report.batches.append(batch)
+        report.doc_count += sum(r["doc_count"] for r in lineage_rows)
+        report.chunk_count += sum(r["chunk_count"] for r in lineage_rows)
+        report.failure_count += sum(r["failure_count"] for r in lineage_rows)
+
+        if _fail_after_batches is not None and batch_idx + 1 >= _fail_after_batches:
+            raise RuntimeError("injected failure for resume testing")
+
+    shutil.rmtree(staging_root, ignore_errors=True)
+    return report
+
+
+def read_chunks(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_dir, "chunks"))
+
+
+def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_dir, "extracted"))

@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Batch extraction job entrypoint (the spark-submit surface).
+
+Usage:
+    python scripts/run_extract.py --pages <pages.parquet> --out <warehouse_dir>
+        [--snapshot snap-0] [--buckets 64] [--buckets-per-batch N]
+        [--cores 32] [--gen-docs N]   # synthesize the input first
+
+On a real cluster:
+    spark-submit --py-files docling_rag_spark.zip scripts/run_extract.py ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--snapshot", default="snap-0")
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--buckets-per-batch", type=int, default=None)
+    ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--salt-partitions", type=int, default=None)
+    ap.add_argument("--gen-docs", type=int, default=None,
+                    help="synthesize a deterministic pages table of N docs first")
+    args = ap.parse_args()
+
+    if args.gen_docs:
+        from docling_rag_spark.sources.pages import write_pages_parquet
+        n = write_pages_parquet(args.pages, args.gen_docs)
+        print(f"generated {n} pages -> {args.pages}", file=sys.stderr)
+
+    import docling_rag_spark
+    from docling_rag_spark.plans.job import run_extraction
+    from docling_rag_spark.session import get_spark
+
+    spark = get_spark(app_name="extract", cores=args.cores)
+    docling_rag_spark.ship(spark)
+
+    t0 = time.time()
+    report = run_extraction(
+        spark, args.pages, args.out,
+        snapshot_id=args.snapshot,
+        num_buckets=args.buckets,
+        buckets_per_batch=args.buckets_per_batch,
+        salt_partitions=args.salt_partitions or args.cores,
+    )
+    elapsed = time.time() - t0
+    print(json.dumps({
+        "snapshot_id": report.snapshot_id,
+        "buckets_total": report.buckets_total,
+        "buckets_skipped": report.buckets_skipped,
+        "buckets_done": report.buckets_done,
+        "doc_count": report.doc_count,
+        "chunk_count": report.chunk_count,
+        "failure_count": report.failure_count,
+        "elapsed_sec": round(elapsed, 2),
+        "docs_per_sec": round(report.doc_count / elapsed, 2) if elapsed else None,
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

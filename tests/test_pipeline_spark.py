@@ -1,0 +1,109 @@
+"""End-to-end pipeline contracts on the synthetic pages table."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from docling_rag_spark.operators.pipeline import (
+    chunks_table,
+    documents_table,
+    extract_documents,
+    extracted_table,
+)
+from docling_rag_spark.sources.pages import generate_pages
+
+N_DOCS = 80
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    pages = spark.createDataFrame(generate_pages(N_DOCS))
+    df = extract_documents(pages, salt_partitions=4)
+    df.persist()
+    yield df
+    df.unpersist()
+
+
+def test_all_rows_accounted(docs_df):
+    assert docs_df.count() == N_DOCS
+
+
+def test_fixture_e2e_chunks_golden(docs_df):
+    rows = (chunks_table(docs_df)
+            .filter(F.col("url") == "https://fixtures.example/docs/e2e.md")
+            .orderBy("chunk_id").collect())
+    assert [r.chunk_id for r in rows] == [0, 1]
+    assert rows[0].text == "The DWH uses a star schema with fact and dimension tables."
+    assert rows[0].element_type == "text"
+    assert rows[0].headings == ["Database Architecture"]
+    assert rows[1].element_type == "code"
+    assert rows[1].headings == ["Database Architecture", "SQL Example"]
+    assert rows[1].text == "SELECT customer_id, SUM(amount)\nFROM fact_sales\nGROUP BY customer_id;"
+
+
+def test_error_isolation_fail_soft(docs_df):
+    """A corrupt row errors; the batch continues (reference Q5)."""
+    by_url = {r.url: r for r in extracted_table(docs_df).collect()}
+    broken = by_url["https://fixtures.example/docs/broken.pdf"]
+    assert broken.status == "error" and broken.n_chunks == 0
+    ok = [r for r in by_url.values() if r.status == "ok"]
+    assert len(ok) == N_DOCS - sum(1 for r in by_url.values() if r.status == "error")
+    assert len(ok) >= N_DOCS - 3
+
+
+def test_empty_and_scan_docs_ok_zero_chunks(docs_df):
+    by_url = {r.url: r for r in extracted_table(docs_df).collect()}
+    assert by_url["https://fixtures.example/docs/empty.md"].status == "ok"
+    assert by_url["https://fixtures.example/docs/empty.md"].n_chunks == 0
+    scan = by_url["https://fixtures.example/docs/scan.pdf"]
+    assert scan.status == "ok" and scan.n_chunks == 0 and scan.format == "pdf"
+
+
+def test_byte_spans_verify_against_extracted_text(docs_df, spark):
+    """span(start,end) are UTF-8 byte offsets: slicing extracted_text bytes
+    reproduces chunk text exactly, for every chunk incl. Cyrillic docs."""
+    joined = (chunks_table(docs_df)
+              .join(extracted_table(docs_df).select("url", "extracted_text"), "url")
+              .select("url", "chunk_id", "text", "span", "extracted_text")
+              .collect())
+    assert joined
+    for r in joined:
+        raw = r.extracted_text.encode("utf-8")
+        assert raw[r.span.start:r.span.end].decode("utf-8") == r.text, r.url
+
+
+def test_chunk_ids_dense_per_url(docs_df):
+    bad = (chunks_table(docs_df)
+           .groupBy("url")
+           .agg(F.count("*").alias("n"), F.max("chunk_id").alias("mx"),
+                F.min("chunk_id").alias("mn"),
+                F.countDistinct("chunk_id").alias("nd"))
+           .filter((F.col("mn") != 0) | (F.col("mx") != F.col("n") - 1)
+                   | (F.col("nd") != F.col("n")))
+           .count())
+    assert bad == 0
+
+
+def test_token_budget_enforced(docs_df):
+    over = (chunks_table(docs_df)
+            .filter((F.col("token_count") > 512)
+                    & (F.col("element_type") == "text")).count())
+    assert over == 0
+
+
+def test_deterministic_across_runs(docs_df, spark):
+    pages = spark.createDataFrame(generate_pages(N_DOCS))
+    again = extract_documents(pages, salt_partitions=2)  # different parallelism
+    a = {(r.url, r.extracted_text) for r in
+         extracted_table(docs_df).select("url", "extracted_text").collect()}
+    b = {(r.url, r.extracted_text) for r in
+         extracted_table(again).select("url", "extracted_text").collect()}
+    assert a == b
+
+
+def test_documents_registry_stub_title(docs_df):
+    reg = {r.url: r for r in documents_table(extracted_table(docs_df)).collect()}
+    # no heading in the WET row -> stub title = url stem (reference contract)
+    assert reg["https://fixtures.example/docs/wet.txt"].title == "wet"
+    assert reg["https://fixtures.example/docs/e2e.md"].title == "Database Architecture"
+    assert reg["https://fixtures.example/docs/e2e.md"].n_chunks == 2
+    assert reg["https://fixtures.example/docs/e2e.md"].added_at is not None
