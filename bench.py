@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Headline benchmark: extraction pipeline + query surface at sf0.1.
+
+Runs on local[$SPARK_GRAFT_CPUS] against $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) and prints ONE JSON line:
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "docs_per_sec": ...}
+
+Each query is fully materialized via the noop sink (whole plan executes,
+nothing collected to the driver). The extraction entry's docs/sec is the
+BASELINE.json headline; scaling-efficiency evidence (local[8] vs local[32])
+is produced separately by scripts/bench_scaling.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_revenue_topk",
+    "j2_catalog_card",
+    "w1_latest_event_per_user",
+    "w2_running_value",
+    "a1_docs_per_source",
+    "f8_event_elapsed",
+    "dedup_exact",
+    "dedup_minhash_sig",
+    "dedup_minhash_pairs",
+    "dedup_simhash",
+    "text_quality",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_token_count",
+    "vec_topk_cosine",
+    "vec_neardup_cosine",
+    "vec_lsh_bucketed",
+    "extract_chunks",
+]
+
+
+def main() -> int:
+    import docling_rag_spark
+    from docling_rag_spark.queries import all_queries
+    from docling_rag_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    docling_rag_spark.ship(spark)
+    qs = all_queries()
+
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+
+    timings: dict[str, float] = {}
+    extract_secs = None
+    for name in BENCH_QUERIES:
+        df = qs[name](spark, SF_DIR)
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        dt = round(time.time() - t0, 3)
+        timings[name] = dt
+        if name == "extract_chunks":
+            extract_secs = dt
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "extraction+query suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / extract_secs, 2) if extract_secs else None,
+    }
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

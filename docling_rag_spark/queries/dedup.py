@@ -1,0 +1,298 @@
+"""Deduplication operators over ``documents`` — the training-data-pipeline
+core: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+All hashing is md5-based so the DuckDB oracle reproduces Spark bit-for-bit
+(Spark ``xxhash64``/``hash`` are not portable). Everything is JVM-side
+DataFrame ops — no Python UDFs.
+
+Scale design (100 TB):
+- exact: single shuffle on the 128-bit content hash; map-side combine.
+- minhash: shingle explode is map-only; the signature agg shuffles once on
+  doc_id (16 perms folded per doc); the LSH band join shuffles on
+  (band, signature) — the whole point of banding is that this join key is
+  high-cardinality and uniform, so no skew. Candidate pairs (not full
+  pairwise) are the only quadratic term and banding bounds them.
+- simhash: map-only fingerprint per doc + one shuffle on doc_id; the pair
+  scan here is brute-force O(N²/2) for the oracle — at scale you'd block by
+  fingerprint prefix (same banding idea) first.
+- jaccard: candidate generation via shared-shingle equi-join (no cross
+  join); per-pair intersection counts come out of the join's groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+_P = 2147483647          # Mersenne prime 2^31-1 for the minhash permutations
+_NUM_PERMS = 16
+_BAND_SIZE = 4           # 4 bands × 4 rows
+_SHINGLE_K = 3           # 3-word shingles
+_SIMHASH_BITS = 48       # ≤53 so pow(2, bit) stays exact in doubles
+_WORD_RE = "[a-z0-9]+"
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _tokens(col):
+    return F.regexp_extract_all(F.lower(col), F.lit(_WORD_RE), 0)
+
+
+def _hex60(col):
+    """Portable 60-bit integer hash of a string (md5-prefix based)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+_HEX60_SQL = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+
+def _shingles(col, k=_SHINGLE_K):
+    toks = _tokens(col)
+    return F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(k - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, k), " ")))
+
+
+_SHINGLES_SQL = """
+  list_distinct(list_transform(
+    range(1, greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')) - {km1}, 1) + 1),
+    i -> array_to_string(list_slice(
+           regexp_extract_all(lower(text), '[a-z0-9]+'), i, i + {km1}), ' ')))
+""".format(km1=_SHINGLE_K - 1)
+
+
+# --- exact dedup -------------------------------------------------------------
+
+def dedup_exact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    return (docs.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                        F.md5(norm).alias("content_hash"))
+            .groupBy("content_hash")
+            .agg(F.count("*").cast("bigint").alias("n_copies"),
+                 F.min("doc_id").cast("bigint").alias("keeper_doc_id")))
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+         AS content_hash,
+       count(*)::BIGINT AS n_copies,
+       min(doc_id)::BIGINT AS keeper_doc_id
+FROM documents GROUP BY 1
+"""
+
+
+# --- n-gram Jaccard ----------------------------------------------------------
+
+_JACCARD_MIN_BP = 500  # 0.05 in basis points (floor-scaled, engine-stable)
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    sh = (docs.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                      F.explode(_shingles(F.col("text"))).alias("sh")))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
+                     & (F.col("a.doc_id") < F.col("b.doc_id")))
+              .groupBy(F.col("a.doc_id").alias("doc_a"),
+                       F.col("b.doc_id").alias("doc_b"))
+              .agg(F.count("*").cast("bigint").alias("shared")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_sh").alias("n_b"))
+    return (shared.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("jaccard_bp", F.floor(
+                F.col("shared") * F.lit(10000.0)
+                / (F.col("n_a") + F.col("n_b") - F.col("shared")))
+                .cast("bigint"))
+            .filter(F.col("jaccard_bp") >= _JACCARD_MIN_BP)
+            .select("doc_a", "doc_b", "shared", "jaccard_bp"))
+
+
+DEDUP_JACCARD_SQL = f"""
+WITH sh AS (
+  SELECT doc_id::BIGINT AS doc_id, unnest({_SHINGLES_SQL}) AS sh
+  FROM documents
+), sizes AS (
+  SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS shared
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, shared,
+       floor(shared * 10000.0 / (sa.n_sh + sb.n_sh - shared))::BIGINT
+         AS jaccard_bp
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE floor(shared * 10000.0 / (sa.n_sh + sb.n_sh - shared)) >= {_JACCARD_MIN_BP}
+"""
+
+
+# --- MinHash signatures + LSH band candidates --------------------------------
+# permutation i: ((a_i * (h % p)) + b_i) % p  with arithmetically derived
+# a_i, b_i (no literal tables; same formula on both engines).
+#   a_i = (1103515245 * (i + 1) + 12345) % p   (odd LCG multiplier family)
+#   b_i = (69069 * (i + 1) + 1) % p
+
+def _perm_df(spark):
+    return (spark.range(_NUM_PERMS).select(
+        F.col("id").cast("int").alias("perm_id"),
+        ((F.lit(1103515245) * (F.col("id") + 1) + 12345) % _P).alias("pa"),
+        ((F.lit(69069) * (F.col("id") + 1) + 1) % _P).alias("pb")))
+
+
+def _minhash_sig(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    sh = (docs.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                      F.explode(_shingles(F.col("text"))).alias("sh"))
+          .withColumn("h", _hex60(F.col("sh")) % _P))
+    return (sh.crossJoin(F.broadcast(_perm_df(spark)))
+            .groupBy("doc_id", "perm_id")
+            .agg(F.min((F.col("pa") * F.col("h") + F.col("pb")) % _P)
+                 .cast("bigint").alias("minhash")))
+
+
+def dedup_minhash_sig(spark, sf_dir):
+    return _minhash_sig(spark, sf_dir)
+
+
+MINHASH_SIG_SQL = f"""
+WITH sh AS (
+  SELECT doc_id::BIGINT AS doc_id, unnest({_SHINGLES_SQL}) AS sh
+  FROM documents
+), hashed AS (
+  SELECT doc_id, {_HEX60_SQL.format(x='sh')} % {_P} AS h FROM sh
+), perms AS (
+  SELECT i::INT AS perm_id,
+         (1103515245 * (i + 1) + 12345) % {_P} AS pa,
+         (69069 * (i + 1) + 1) % {_P} AS pb
+  FROM range({_NUM_PERMS}) t(i)
+)
+SELECT doc_id, perm_id,
+       min((pa * h + pb) % {_P})::BIGINT AS minhash
+FROM hashed CROSS JOIN perms
+GROUP BY doc_id, perm_id
+"""
+
+
+def dedup_minhash_pairs(spark, sf_dir):
+    sig = _minhash_sig(spark, sf_dir)
+    bands = (sig.withColumn("band", (F.col("perm_id") / _BAND_SIZE)
+                            .cast("int"))
+             .groupBy("doc_id", "band")
+             .agg(F.md5(F.array_join(
+                 F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct("perm_id", "minhash"))),
+                     lambda s: s["minhash"].cast("string")), "_"))
+                 .alias("band_sig")))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.band_sig") == F.col("b.band_sig"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count("*").cast("bigint").alias("n_shared_bands")))
+
+
+MINHASH_PAIRS_SQL = f"""
+WITH sig AS ({MINHASH_SIG_SQL}),
+bands AS (
+  SELECT doc_id, (perm_id // {_BAND_SIZE})::INT AS band,
+         md5(string_agg(minhash::VARCHAR, '_' ORDER BY perm_id)) AS band_sig
+  FROM sig GROUP BY doc_id, (perm_id // {_BAND_SIZE})::INT
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       count(*)::BIGINT AS n_shared_bands
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+            AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+"""
+
+
+# --- SimHash -----------------------------------------------------------------
+
+def dedup_simhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = (docs.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                        F.explode(F.array_distinct(_tokens(F.col("text"))))
+                         .alias("tok"))
+            .withColumn("h", _hex60(F.col("tok"))))
+    bits = (toks.crossJoin(F.broadcast(
+                spark.range(_SIMHASH_BITS)
+                .select(F.col("id").cast("int").alias("bit"))))
+            .withColumn("sign",
+                        F.when(F.expr("shiftright(h, bit) & 1") == 1, 1)
+                         .otherwise(-1))
+            .groupBy("doc_id", "bit")
+            .agg(F.sum("sign").alias("bal")))
+    # pow(2, bit) is exact for bit < 53; _SIMHASH_BITS = 48 keeps it so
+    return (bits.groupBy("doc_id")
+            .agg(F.sum(F.when(F.col("bal") > 0,
+                              F.pow(F.lit(2.0), F.col("bit")))
+                       .otherwise(F.lit(0.0))).cast("bigint")
+                 .alias("simhash")))
+
+
+SIMHASH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')))
+           AS tok
+  FROM documents
+), hashed AS (
+  SELECT doc_id, {_HEX60_SQL.format(x='tok')} AS h FROM toks
+), bits AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS bal
+  FROM hashed CROSS JOIN (SELECT i::INT AS bit
+                          FROM range({_SIMHASH_BITS}) t(i))
+  GROUP BY doc_id, bit
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN bal > 0 THEN pow(2.0, bit) ELSE 0.0 END) AS BIGINT)
+         AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+_SIMHASH_MAX_HAMMING = 6
+
+
+def dedup_simhash_pairs(spark, sf_dir):
+    fp = dedup_simhash(spark, sf_dir)
+    a = fp.select(F.col("doc_id").alias("doc_a"),
+                  F.col("simhash").alias("fp_a"))
+    b = fp.select(F.col("doc_id").alias("doc_b"),
+                  F.col("simhash").alias("fp_b"))
+    return (a.join(b, F.col("doc_a") < F.col("doc_b"))
+            .withColumn("hamming",
+                        F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+                        .cast("bigint"))
+            .filter(F.col("hamming") <= _SIMHASH_MAX_HAMMING)
+            .select("doc_a", "doc_b", "hamming"))
+
+
+SIMHASH_PAIRS_SQL = f"""
+WITH fp AS ({SIMHASH_SQL})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_MAX_HAMMING}
+"""
+
+
+QUERIES = {
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
+    "dedup_minhash_sig": (dedup_minhash_sig, MINHASH_SIG_SQL),
+    "dedup_minhash_pairs": (dedup_minhash_pairs, MINHASH_PAIRS_SQL),
+    "dedup_simhash": (dedup_simhash, SIMHASH_SQL),
+    "dedup_simhash_pairs": (dedup_simhash_pairs, SIMHASH_PAIRS_SQL),
+}
