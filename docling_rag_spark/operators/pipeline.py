@@ -136,10 +136,15 @@ def chunks_table(docs: DataFrame) -> DataFrame:
 
 
 def extracted_table(docs: DataFrame) -> DataFrame:
-    """Doc-level output: byte-identity comparison target + registry fields."""
+    """Doc-level output: byte-identity comparison target + registry fields.
+
+    Uses a precomputed ``n_chunks`` column when present (staged doc tables
+    carry it so this derivation never scans the wide chunks column)."""
+    n_chunks = (F.col("n_chunks") if "n_chunks" in docs.columns
+                else F.size("chunks"))
     return docs.select("url", "format", "status", "error", "title", "lang",
                        "extracted_text", "n_blocks",
-                       F.size("chunks").alias("n_chunks"), "warc_ts")
+                       n_chunks.alias("n_chunks"), "warc_ts")
 
 
 def documents_table(extracted: DataFrame) -> DataFrame:

@@ -90,8 +90,13 @@ def run_extraction(
     batches = [todo[i:i + step] for i in range(0, len(todo), step)]
     staging_root = os.path.join(out_dir, "_staging")
 
+    import sys
+    import time as _time
+    debug = os.environ.get("SPARK_GRAFT_DEBUG") == "1"
+
     for batch_idx, batch in enumerate(batches):
         started = wh.now()
+        _t0 = _time.time()
         staging = os.path.join(staging_root, f"{snapshot_id}-{batch_idx}")
         shutil.rmtree(staging, ignore_errors=True)
 
@@ -99,32 +104,63 @@ def run_extraction(
         if len(batch) < num_buckets:
             sub = sub.filter(F.col("bucket").isin(batch))
 
-        docs = extract_documents(
-            sub, max_tokens=max_tokens, salt_partitions=salt_partitions,
-        ).withColumn("bucket", bucket_of(F.col("url"), num_buckets))
-        docs.persist()
-        try:
-            (chunks_table(docs)
-             .withColumn("bucket", bucket_of(F.col("url"), num_buckets))
-             .write.partitionBy("bucket").mode("overwrite")
-             .parquet(os.path.join(staging, "chunks")))
-            (extracted_table(docs)
-             .withColumn("bucket", bucket_of(F.col("url"), num_buckets))
-             .write.partitionBy("bucket").mode("overwrite")
-             .parquet(os.path.join(staging, "extracted")))
+        # Bucket-aligned repartition: the url-hash bucket IS the salt (urls
+        # hash uniformly, so host-heavy crawls still spread). Keeping whole
+        # buckets per task means the dynamic-partition write below emits one
+        # file per bucket with a trivial sort, instead of num_tasks ×
+        # num_buckets fragments — the difference between a write that scales
+        # with cores and one that collapses under small-file overhead.
+        # When buckets are too coarse for the requested parallelism, add a
+        # salted secondary key: buckets split across tasks (a few files per
+        # bucket) rather than capping parallelism at num_buckets.
+        if num_buckets >= 2 * salt_partitions:
+            sub = sub.repartition(num_buckets, F.col("bucket"))
+        else:
+            sub = sub.repartition(max(num_buckets, salt_partitions),
+                                  F.col("bucket"),
+                                  F.xxhash64("url", F.lit(0x5A17)))
 
-            stats = {
-                row["bucket"]: row
-                for row in docs.groupBy("bucket").agg(
-                    F.count("*").alias("docs"),
-                    F.sum(F.size("chunks")).alias("chunks"),
-                    F.sum(F.when(F.col("status") == "error", 1)
-                          .otherwise(0)).alias("failures"),
-                ).collect()
-            }
-        finally:
-            docs.unpersist()
+        # One UDF pass, materialized to a staged doc-level table; chunks /
+        # extracted / stats derive from it via column-pruned JVM-only scans.
+        # Staging-to-parquet beats .persist() here: executor-memory caching
+        # of the wide doc rows (text + chunk structs) thrashes GC as
+        # parallelism grows, while the staged table reads back pruned (the
+        # extracted derivation never touches the chunks column at all).
+        (extract_documents(sub, max_tokens=max_tokens, salt_partitions=None)
+         .withColumn("bucket", bucket_of(F.col("url"), num_buckets))
+         .withColumn("n_chunks", F.size("chunks"))
+         .withColumn("is_error", (F.col("status") == "error").cast("int"))
+         .write.partitionBy("bucket").mode("overwrite")
+         .parquet(os.path.join(staging, "docs")))
 
+        _t1 = _time.time()
+        docs = spark.read.parquet(os.path.join(staging, "docs"))
+        (chunks_table(docs)
+         .withColumn("bucket", bucket_of(F.col("url"), num_buckets))
+         .write.partitionBy("bucket").mode("overwrite")
+         .parquet(os.path.join(staging, "chunks")))
+        _t2 = _time.time()
+        (extracted_table(docs)
+         .withColumn("bucket", bucket_of(F.col("url"), num_buckets))
+         .write.partitionBy("bucket").mode("overwrite")
+         .parquet(os.path.join(staging, "extracted")))
+        _t3 = _time.time()
+
+        # narrow-column scan: count/sum over (bucket, n_chunks, is_error)
+        stats = {
+            row["bucket"]: row
+            for row in docs.groupBy("bucket").agg(
+                F.count("*").alias("docs"),
+                F.sum("n_chunks").alias("chunks"),
+                F.sum("is_error").alias("failures"),
+            ).collect()
+        }
+
+        _t4 = _time.time()
+        if debug:
+            print(f"[job] batch={batch_idx} udf+stage={_t1 - _t0:.1f}s "
+                  f"chunks={_t2 - _t1:.1f}s extracted={_t3 - _t2:.1f}s "
+                  f"stats={_t4 - _t3:.1f}s", file=sys.stderr)
         wh.commit_buckets(os.path.join(staging, "chunks"),
                           os.path.join(out_dir, "chunks"), batch)
         wh.commit_buckets(os.path.join(staging, "extracted"),

@@ -30,7 +30,11 @@ def get_spark(app_name: str = "docling-rag-spark",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # html blobs can be MBs: bound Arrow batch memory, not row count alone
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # split parquet scans finer than the 128m default: html-blob tables
+        # are small on disk but expensive per row (parse CPU), so scan tasks
+        # must outnumber cores even at bench scale
+        .config("spark.sql.files.maxPartitionBytes", "32m")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
     )

@@ -71,9 +71,9 @@ def _paragraph(rng: random.Random, vocab=_VOCAB, lo: int = 2, hi: int = 6) -> st
     return " ".join(_sentence(rng, vocab) for _ in range(rng.randint(lo, hi)))
 
 
-def _markdown_doc(rng: random.Random, vocab=_VOCAB) -> str:
+def _markdown_doc(rng: random.Random, vocab=_VOCAB, heaviness: int = 1) -> str:
     parts = [f"# {' '.join(rng.choices(vocab, k=3)).title()}"]
-    for _ in range(rng.randint(1, 4)):
+    for _ in range(rng.randint(1, 4) * heaviness):
         parts.append(f"## {' '.join(rng.choices(vocab, k=2)).title()}")
         for _ in range(rng.randint(1, 3)):
             parts.append(_paragraph(rng, vocab))
@@ -91,14 +91,14 @@ def _markdown_doc(rng: random.Random, vocab=_VOCAB) -> str:
     return "\n\n".join(parts) + "\n"
 
 
-def _html_doc(rng: random.Random) -> str:
+def _html_doc(rng: random.Random, heaviness: int = 1) -> str:
     nav = "<nav>" + " ".join(
         f'<a href="/{w}">{w}</a>' for w in rng.choices(_VOCAB, k=6)) + "</nav>"
     side = ('<div class="sidebar"><ul>' + "".join(
         f'<li><a href="/{w}">{w} link</a></li>' for w in rng.choices(_VOCAB, k=4))
         + "</ul></div>")
     body = [f"<h1>{' '.join(rng.choices(_VOCAB, k=3)).title()}</h1>"]
-    for _ in range(rng.randint(1, 3)):
+    for _ in range(rng.randint(1, 3) * heaviness):
         body.append(f"<h2>{' '.join(rng.choices(_VOCAB, k=2)).title()}</h2>")
         for _ in range(rng.randint(1, 3)):
             body.append(f"<p>{_paragraph(rng)}</p>")
@@ -115,7 +115,8 @@ def _html_doc(rng: random.Random) -> str:
             + footer + "</body></html>")
 
 
-def _row(doc_id: int, seed: int) -> tuple[str, bytes | None, str | None, str]:
+def _row(doc_id: int, seed: int, heaviness: int = 1,
+         ) -> tuple[str, bytes | None, str | None, str]:
     rng = random.Random(seed * 1_000_003 + doc_id)
     # skewed host: rng.random()**3 concentrates mass near host 0
     host = int(rng.random() ** 3 * 40)
@@ -124,13 +125,14 @@ def _row(doc_id: int, seed: int) -> tuple[str, bytes | None, str | None, str]:
     html: bytes | None = None
     text: str | None = None
     if cls < 45:
-        html = _html_doc(rng).encode()
+        html = _html_doc(rng, heaviness=heaviness).encode()
         name, ext = "page", "html"
     elif cls < 75:
-        html = _markdown_doc(rng).encode()
+        html = _markdown_doc(rng, heaviness=heaviness).encode()
         name, ext = "doc", "md"
     elif cls < 83:
-        pages = [_paragraph(rng, lo=3, hi=6) for _ in range(rng.randint(2, 4))]
+        pages = [_paragraph(rng, lo=3, hi=6)
+                 for _ in range(rng.randint(2, 4) * heaviness)]
         html = FX.build_text_pdf(pages, compress=bool(rng.random() < 0.5))
         name, ext = "report", "pdf"
     elif cls < 87:
@@ -158,9 +160,14 @@ def _row(doc_id: int, seed: int) -> tuple[str, bytes | None, str | None, str]:
 
 
 def generate_pages(n_docs: int, seed: int = 42,
-                   include_fixtures: bool = True) -> pd.DataFrame:
+                   include_fixtures: bool = True,
+                   heaviness: int = 1) -> pd.DataFrame:
+    """``heaviness`` multiplies generated content size (default 1 keeps the
+    test goldens stable); the scaling bench uses >1 so per-doc parse cost
+    approximates real Common-Crawl page sizes."""
     rows = list(FIXTURE_ROWS) if include_fixtures else []
-    rows.extend(_row(i, seed) for i in range(max(0, n_docs - len(rows))))
+    rows.extend(_row(i, seed, heaviness=heaviness)
+                for i in range(max(0, n_docs - len(rows))))
     urls, htmls, texts, langs = zip(*rows)
     ts = [_EPOCH + dt.timedelta(seconds=37 * i) for i in range(len(rows))]
     return pd.DataFrame({
@@ -179,9 +186,11 @@ PAGES_ARROW_SCHEMA = pa.schema([
 
 def write_pages_parquet(path: str, n_docs: int, seed: int = 42,
                         include_fixtures: bool = True,
-                        row_group_docs: int = 2000) -> int:
+                        row_group_docs: int = 2000,
+                        heaviness: int = 1) -> int:
     """Write the synthetic table directly via pyarrow (no Spark needed)."""
-    df = generate_pages(n_docs, seed=seed, include_fixtures=include_fixtures)
+    df = generate_pages(n_docs, seed=seed, include_fixtures=include_fixtures,
+                        heaviness=heaviness)
     table = pa.Table.from_pandas(df, schema=PAGES_ARROW_SCHEMA,
                                  preserve_index=False)
     pq.write_table(table, path, row_group_size=row_group_docs,
