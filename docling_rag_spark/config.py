@@ -42,3 +42,9 @@ MAX_TAGS = 5
 # --- Scale mechanics ----------------------------------------------------------
 DEFAULT_NUM_BUCKETS = 64      # url-hash buckets; unit of lineage/resume
 DEFAULT_SALT_PARTITIONS = 32  # salted repartition width before the parse UDF
+
+# --- Embedding (reference: core/embedder.py, dim frozen per model ------------
+# db_schema.py:33 pins 1024 to deepvk/USER-bge-m3; the self-contained hashed
+# random-projection encoder uses 256 (no model files in this environment).
+EMBED_DIM = 256
+EMBED_BATCH = 128  # reference _EMBED_BATCH, core/indexer.py:29

@@ -79,8 +79,65 @@ FROM documents
 """
 
 
+def embed_chunks_q(spark, sf_dir):
+    """X7: deterministic hashed-random-projection embeddings over chunks
+    (pandas UDF; not SQL-expressible → rows-only check)."""
+    from docling_rag_spark.operators.embed import embed_chunks
+    return (embed_chunks(extract_chunks(spark, sf_dir)
+                         .withColumnRenamed("text", "context_text"))
+            .select("url", "chunk_id",
+                    F.size("embedding").cast("int").alias("dim")))
+
+
+def search_topk_q(spark, sf_dir):
+    """O1 end-to-end: extract → embed → exact cosine top-k for a fixed
+    query (the reference §3.2 lifecycle; rows-only check)."""
+    from docling_rag_spark.operators.embed import embed_chunks
+    from docling_rag_spark.operators.search import search_chunks
+    emb = embed_chunks(extract_chunks(spark, sf_dir)
+                       .withColumnRenamed("text", "context_text"))
+    return search_chunks(spark, emb, "query engine scan filter join",
+                         top_k=10)
+
+
+def media_describe_q(spark, sf_dir):
+    """Multimodal plumbing over synthesized binary payloads keyed by doc_id
+    (deterministic fake containers; rows-only check)."""
+    import pandas as pd
+
+    from docling_rag_spark.operators.multimodal import (
+        build_fake_audio, build_fake_image, build_fake_video, describe_media)
+
+    def make_payloads(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                kind = did % 3
+                if kind == 0:
+                    payloads.append(build_fake_image(16, 16, seed=int(did)))
+                elif kind == 1:
+                    payloads.append(build_fake_video(12, seed=int(did)))
+                else:
+                    payloads.append(build_fake_audio(8000, 4000,
+                                                     seed=int(did)))
+            yield pd.DataFrame({
+                "url": ["media://" + str(d) for d in pdf["doc_id"]],
+                "payload": payloads})
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = docs.mapInPandas(make_payloads,
+                             schema="url string, payload binary")
+    return describe_media(media).select(
+        "url", "media_type", "status",
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        F.size("feature").cast("int").alias("feat_dim"))
+
+
 QUERIES = {
     "extract_chunks": (extract_chunks, None),
     "extract_docs": (extract_docs, None),
     "binary_meta": (binary_meta, BINARY_META_SQL),
+    "embed_chunks": (embed_chunks_q, None),
+    "search_topk": (search_topk_q, None),
+    "media_describe": (media_describe_q, None),
 }

@@ -1,0 +1,137 @@
+"""Embedder (X7) + search (O1/P1/P2/P5/S8) contract tests.
+
+Ports the reference's search contracts: brute-force exact cosine spec
+(tests/fakes.py:61-63), tri-state allowed filter (db_storage.py:127-146),
+empty-store FileNotFoundError (db_storage.py:131-133), AND-tag resolution
+(core/search.py:26-40), and the integration-shaped "query finds the
+relevant doc" semantic check (tests/test_integration.py:18-68, threshold
+scaled to the hashed random-projection embedder).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from docling_rag_spark.operators.embed import embed_chunks, embed_texts
+from docling_rag_spark.operators.search import (
+    log_search,
+    resolve_allowed_urls,
+    search_chunks,
+)
+
+DOCS = [
+    ("u://a", 0, "database star schema with fact and dimension tables"),
+    ("u://a", 1, "the query engine scans parquet with predicate pushdown"),
+    ("u://b", 0, "cooking pasta requires salted boiling water"),
+    ("u://b", 1, "simmer the tomato sauce with garlic and basil"),
+    ("u://c", 0, "spark shuffles data between executors by partition key"),
+]
+
+
+@pytest.fixture(scope="module")
+def chunk_emb(spark):
+    df = spark.createDataFrame(
+        [(u, c, t) for u, c, t in DOCS],
+        "url string, chunk_id int, context_text string")
+    return embed_chunks(df).cache()
+
+
+def test_embedder_deterministic_and_normalized():
+    m1 = embed_texts(["alpha beta", "alpha beta", ""])
+    m2 = embed_texts(["alpha beta"])
+    assert np.array_equal(m1[0], m1[1])
+    assert np.array_equal(m1[0], m2[0])
+    assert abs(float(np.linalg.norm(m1[0])) - 1.0) < 1e-5
+    assert float(np.linalg.norm(m1[2])) == 0.0  # empty → zero vector
+
+
+def test_embedder_cosine_orders_by_overlap():
+    m = embed_texts(["star schema fact dimension",
+                     "star schema fact tables",
+                     "boiling pasta water"])
+    sim_close = float(m[0] @ m[1])
+    sim_far = float(m[0] @ m[2])
+    assert sim_close > sim_far
+
+
+def test_spark_embedding_matches_local(spark, chunk_emb):
+    rows = {(r["url"], r["chunk_id"]): np.array(r["embedding"], np.float32)
+            for r in chunk_emb.collect()}
+    local = embed_texts([t for _, _, t in DOCS])
+    for (u, c, t), vec in zip(DOCS, local):
+        assert np.allclose(rows[(u, c)], vec, atol=1e-6), (u, c)
+
+
+def test_search_topk_matches_numpy_oracle(spark, chunk_emb):
+    got = search_chunks(spark, chunk_emb, "star schema query", top_k=3)
+    rows = got.collect()
+    # numpy brute force (the fakes.py:61-63 executable spec)
+    mat = embed_texts([t for _, _, t in DOCS])
+    q = embed_texts(["star schema query"])[0]
+    scores = mat @ q
+    order = sorted(range(len(DOCS)), key=lambda i: (-scores[i], DOCS[i][0],
+                                                    DOCS[i][1]))[:3]
+    want = [(DOCS[i][0], DOCS[i][1]) for i in order]
+    assert [(r["url"], r["chunk_id"]) for r in rows] == want
+    for r, i in zip(rows, order):
+        assert abs(r["score"] - float(scores[i])) < 1e-5
+
+
+def test_search_allowed_semi_join(spark, chunk_emb):
+    allowed = spark.createDataFrame([("u://b",)], "url string")
+    rows = search_chunks(spark, chunk_emb, "pasta water", top_k=5,
+                         allowed_urls=allowed).collect()
+    assert rows and all(r["url"] == "u://b" for r in rows)
+
+
+def test_search_empty_allowed_short_circuits(spark):
+    # ∅ allowed set: empty result WITHOUT touching (even empty) storage
+    empty_store = spark.createDataFrame(
+        [], "url string, chunk_id int, embedding array<float>")
+    out = search_chunks(spark, empty_store, "q", allowed_empty=True)
+    assert out.count() == 0
+
+
+def test_search_empty_store_raises(spark):
+    empty_store = spark.createDataFrame(
+        [], "url string, chunk_id int, embedding array<float>")
+    with pytest.raises(FileNotFoundError):
+        search_chunks(spark, empty_store, "q")
+
+
+def test_resolve_allowed_and_tags_topic(spark):
+    docs = spark.createDataFrame(
+        [("u://a", ["Db", "spark"], "Engineering"),
+         ("u://b", ["cooking"], "Food"),
+         ("u://c", ["db"], "engineering")],
+        "url string, tags array<string>, topic string")
+    assert resolve_allowed_urls(docs) is None  # tri-state: no predicate
+    got = {r["url"] for r in
+           resolve_allowed_urls(docs, tags=["DB"]).collect()}
+    assert got == {"u://a", "u://c"}  # case-insensitive tag match
+    got = {r["url"] for r in
+           resolve_allowed_urls(docs, tags=["db", "spark"]).collect()}
+    assert got == {"u://a"}  # AND semantics
+    got = {r["url"] for r in
+           resolve_allowed_urls(docs, topic="ENGINEERING").collect()}
+    assert got == {"u://a", "u://c"}
+
+
+def test_search_log_appends(tmp_path):
+    import pandas as pd
+    p1 = log_search(str(tmp_path), "q1", 0.42)
+    p2 = log_search(str(tmp_path), "q2", None)
+    df = pd.concat([pd.read_parquet(p1), pd.read_parquet(p2)])
+    assert set(df["query"]) == {"q1", "q2"}
+
+
+def test_semantic_quality_end_to_end(spark, chunk_emb):
+    """The reference's golden threshold (top_score > 0.3) shape: the query
+    about databases must hit the database chunk first with a clearly
+    positive score."""
+    rows = search_chunks(spark, chunk_emb,
+                         "fact and dimension tables star schema",
+                         top_k=1).collect()
+    assert rows[0]["url"] == "u://a" and rows[0]["chunk_id"] == 0
+    assert rows[0]["score"] > 0.3

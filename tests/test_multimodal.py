@@ -1,0 +1,83 @@
+"""Multimodal plumbing: decode/feature/resize/frame-sample over binary cols."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from docling_rag_spark.operators.multimodal import (
+    FAKE_IMG,
+    build_fake_audio,
+    build_fake_image,
+    build_fake_video,
+    describe_media,
+    resize_images,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        ("m://img1", build_fake_image(8, 6, seed=1)),
+        ("m://img2", build_fake_image(32, 32, seed=2)),
+        ("m://vid1", build_fake_video(25, seed=3)),
+        ("m://vid2", build_fake_video(3, seed=4)),
+        ("m://aud1", build_fake_audio(16000, 32000, seed=5)),
+        ("m://real.jpg", b"\xff\xd8\xff\xe0junk"),   # real codec → stubbed
+        ("m://junk", b"not-a-container"),
+    ]
+    return spark.createDataFrame(rows, "url string, payload binary").coalesce(2)
+
+
+def test_describe_media(spark, media):
+    rows = {r["url"]: r for r in describe_media(media).collect()}
+    assert rows["m://img1"]["media_type"] == "image"
+    assert (rows["m://img1"]["width"], rows["m://img1"]["height"]) == (8, 6)
+    assert rows["m://vid1"]["n_frames"] == 25
+    assert rows["m://aud1"]["sample_rate"] == 16000
+    assert abs(rows["m://aud1"]["duration_s"] - 2.0) < 1e-9
+    # features are unit-normalized and deterministic
+    f = np.array(rows["m://img2"]["feature"])
+    assert abs(float(np.linalg.norm(f)) - 1.0) < 1e-5
+    again = {r["url"]: r for r in describe_media(media).collect()}
+    assert rows["m://img2"]["feature"] == again["m://img2"]["feature"]
+    # real codec + junk → fail-soft error rows, batch continues
+    assert rows["m://real.jpg"]["status"] == "error"
+    assert "NotImplemented" not in (rows["m://real.jpg"]["error"] or "")
+    assert "codec" in rows["m://real.jpg"]["error"]
+    assert rows["m://junk"]["status"] == "error"
+    assert sum(1 for r in rows.values() if r["status"] == "ok") == 5
+
+
+def test_sample_frames_even_stride(spark, media):
+    rows = [r for r in sample_frames(media, max_frames=10).collect()]
+    by_url = {}
+    for r in rows:
+        by_url.setdefault(r["url"], []).append(r["frame_idx"])
+    # 25 frames, k=10 → stride 2 → frames 0,2,…,18 (capped at 10)
+    assert sorted(by_url["m://vid1"]) == list(range(0, 20, 2))
+    # fewer frames than k → all frames
+    assert sorted(by_url["m://vid2"]) == [0, 1, 2]
+    assert set(by_url) == {"m://vid1", "m://vid2"}  # non-videos dropped
+
+
+def test_resize_images_nearest(spark, media):
+    rows = {r["url"]: r for r in
+            resize_images(media, 4, 3).collect()}
+    ok = rows["m://img1"]
+    assert ok["status"] == "ok"
+    w, h = struct.unpack_from("<II", bytes(ok["payload"]), 4)
+    assert (w, h) == (4, 3)
+    assert bytes(ok["payload"]).startswith(FAKE_IMG)
+    # subsample grid of the original pixels
+    src = build_fake_image(8, 6, seed=1)
+    src_pix = np.frombuffer(src, np.uint8, 48, 12).reshape(6, 8)
+    out_pix = np.frombuffer(bytes(ok["payload"]), np.uint8, 12,
+                            12).reshape(3, 4)
+    ys = (np.arange(3) * 6) // 3
+    xs = (np.arange(4) * 8) // 4
+    assert np.array_equal(out_pix, src_pix[np.ix_(ys, xs)])
+    assert rows["m://vid1"]["status"].startswith("error")
