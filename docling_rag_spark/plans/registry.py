@@ -1,0 +1,99 @@
+"""Documents registry with MERGE-style upsert (reference S7).
+
+The reference upserts registry cards with ``INSERT … ON CONFLICT DO UPDATE``
+where every field COALESCEs to the existing value, tags are replaced only by
+a non-empty new list, and ``added_at`` is preserved from the first insert
+(storage/db_registry.py:22-45). With Iceberg this is literally::
+
+    MERGE INTO documents t USING updates s ON t.url = s.url
+    WHEN MATCHED THEN UPDATE SET
+      title  = coalesce(s.title,  t.title),
+      author = coalesce(s.author, t.author),
+      topic  = coalesce(s.topic,  t.topic),
+      tags   = CASE WHEN size(s.tags) > 0 THEN s.tags ELSE t.tags END
+    WHEN NOT MATCHED THEN INSERT *
+
+No Iceberg runtime ships in this sandbox, so ``upsert_documents`` computes
+the merged snapshot as a DataFrame (full outer join + coalesce — the exact
+relational semantics of the MERGE above) and the caller commits it as a new
+snapshot directory (warehouse-style atomic rename). Metadata strings are
+normalized first per the reference's rules (core/metadata.py:65-83):
+empty/"null"/"none" → NULL, tags lowercased/trimmed/deduped/capped at 5.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from docling_rag_spark.config import MAX_TAGS, NULLISH_STRINGS
+
+REGISTRY_COLS = ("url", "title", "author", "topic", "tags", "lang",
+                 "n_chunks", "added_at")
+
+
+def normalize_meta_string(col):
+    """F6/D2: strip; empty/'null'/'none' (ci) → NULL."""
+    trimmed = F.trim(col)
+    return F.when(F.lower(trimmed).isin(*NULLISH_STRINGS), F.lit(None)) \
+            .otherwise(trimmed)
+
+
+def normalize_tags(col):
+    """D2: lowercase, trim, drop nullish, dedupe (first occurrence), cap 5.
+    Order-stable so replayed upserts are byte-identical."""
+    cleaned = F.filter(
+        F.transform(col, lambda t: F.trim(F.lower(t))),
+        lambda t: ~t.isin(*NULLISH_STRINGS))
+    return F.slice(F.array_distinct(cleaned), 1, MAX_TAGS)
+
+
+def normalize_updates(updates: DataFrame) -> DataFrame:
+    out = updates
+    for c in ("title", "author", "topic"):
+        if c in updates.columns:
+            out = out.withColumn(c, normalize_meta_string(F.col(c)))
+    if "tags" in updates.columns:
+        out = out.withColumn("tags", normalize_tags(F.col("tags")))
+    return out
+
+
+def upsert_documents(existing: DataFrame, updates: DataFrame) -> DataFrame:
+    """Merged registry snapshot (the MERGE in the module docstring).
+
+    Column rules per db_registry.py:31-45: scalars keep the old value when
+    the (normalized) new one is NULL; tags are replaced only by a non-empty
+    list; added_at of existing rows is preserved, new rows take theirs.
+    """
+    s = normalize_updates(updates).alias("s")
+    t = existing.alias("t")
+    joined = t.join(s, F.col("t.url") == F.col("s.url"), "full_outer")
+    url = F.coalesce(F.col("t.url"), F.col("s.url"))
+
+    def scalar(c):
+        if c not in updates.columns:
+            return F.col(f"t.{c}")
+        if c not in existing.columns:
+            return F.col(f"s.{c}")
+        return F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}"))
+
+    tags = (F.when(F.size(F.coalesce(F.col("s.tags"),
+                                     F.array().cast("array<string>"))) > 0,
+                   F.col("s.tags"))
+            .otherwise(F.col("t.tags"))
+            if "tags" in updates.columns and "tags" in existing.columns
+            else scalar("tags"))
+
+    added_at = (F.coalesce(F.col("t.added_at"), F.col("s.added_at"))
+                if "added_at" in existing.columns
+                and "added_at" in updates.columns else scalar("added_at"))
+
+    cols = [url.alias("url")]
+    for c in REGISTRY_COLS[1:]:
+        if c == "tags":
+            cols.append(tags.alias("tags"))
+        elif c == "added_at":
+            cols.append(added_at.alias("added_at"))
+        elif c in existing.columns or c in updates.columns:
+            cols.append(scalar(c).alias(c))
+    return joined.select(*cols)
