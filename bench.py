@@ -40,7 +40,7 @@ BENCH_QUERIES = [
     "text_fingerprint",
     "text_token_count",
     "vec_topk_cosine",
-    "vec_neardup_cosine",
+    "vec_neardup_lsh",
     "vec_lsh_bucketed",
     "extract_chunks",
 ]

@@ -201,3 +201,55 @@ def read_chunks(spark: SparkSession, out_dir: str) -> DataFrame:
 
 def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out_dir, "extracted"))
+
+
+def delete_urls(spark: SparkSession, out_dir: str, urls: list[str],
+                num_buckets: int = DEFAULT_NUM_BUCKETS,
+                tables: tuple[str, ...] = ("chunks", "extracted",
+                                           "embeddings")) -> dict:
+    """Delete documents by url across all warehouse tables (reference
+    ``cli delete`` + the documents→chunks FK cascade, db_schema.py:27,
+    cli/commands.py:268-269).
+
+    Iceberg-wise this is ``DELETE FROM t WHERE url IN (...)``; here it is a
+    *bucket-local rewrite*: only the url-hash buckets that can contain the
+    targeted urls are read, filtered, and atomically re-committed — every
+    other bucket's files are untouched (the same partition-pruned shape a
+    real DELETE takes on a bucket-partitioned Iceberg table).
+    """
+    urls_df = spark.createDataFrame([(u,) for u in urls], "url string")
+    buckets = sorted({
+        r["bucket"]
+        for r in urls_df.select(
+            bucket_of(F.col("url"), num_buckets).alias("bucket"))
+        .distinct().collect()})
+    report = {"buckets_rewritten": buckets, "rows_deleted": {}}
+    staging = os.path.join(out_dir, "_staging", "delete")
+    for table in tables:
+        table_dir = os.path.join(out_dir, table)
+        dirs = [wh.bucket_dir(table_dir, b) for b in buckets]
+        dirs = [d for d in dirs if os.path.isdir(d)]
+        if not dirs:
+            report["rows_deleted"][table] = 0
+            continue
+        sub = spark.read.option("basePath", table_dir).parquet(*dirs)
+        before = sub.count()
+        kept = sub.join(F.broadcast(urls_df), "url", "left_anti")
+        stage_tbl = os.path.join(staging, table)
+        shutil.rmtree(stage_tbl, ignore_errors=True)
+        (kept.repartition(max(len(buckets), 1), F.col("bucket"))
+         .write.partitionBy("bucket").mode("overwrite").parquet(stage_tbl))
+        # buckets that became empty still need their old dir replaced
+        for b in buckets:
+            sdir = wh.bucket_dir(stage_tbl, b)
+            if not os.path.isdir(sdir):
+                os.makedirs(sdir, exist_ok=True)
+        wh.commit_buckets(stage_tbl, table_dir, buckets)
+        after_dirs = [wh.bucket_dir(table_dir, b) for b in buckets]
+        after_dirs = [d for d in after_dirs
+                      if os.path.isdir(d) and os.listdir(d)]
+        after = (spark.read.option("basePath", table_dir)
+                 .parquet(*after_dirs).count() if after_dirs else 0)
+        report["rows_deleted"][table] = before - after
+    shutil.rmtree(staging, ignore_errors=True)
+    return report

@@ -139,22 +139,27 @@ WHERE floor(shared * 10000.0 / (sa.n_sh + sb.n_sh - shared)) >= {_JACCARD_MIN_BP
 #   a_i = (1103515245 * (i + 1) + 12345) % p   (odd LCG multiplier family)
 #   b_i = (69069 * (i + 1) + 1) % p
 
-def _perm_df(spark):
-    return (spark.range(_NUM_PERMS).select(
-        F.col("id").cast("int").alias("perm_id"),
-        ((F.lit(1103515245) * (F.col("id") + 1) + 12345) % _P).alias("pa"),
-        ((F.lit(69069) * (F.col("id") + 1) + 1) % _P).alias("pb")))
+_PERM_A = [(1103515245 * (i + 1) + 12345) % _P for i in range(_NUM_PERMS)]
+_PERM_B = [(69069 * (i + 1) + 1) % _P for i in range(_NUM_PERMS)]
 
 
 def _minhash_sig(spark, sf_dir):
+    """One wide agg (16 min() columns, map-side combined) instead of a 16×
+    row blowup: the shuffle carries 16 partial mins per doc, not 16 copies
+    of every shingle. ``stack`` unpivots the tiny per-doc result to the
+    long (doc_id, perm_id, minhash) contract."""
     docs = _t(spark, sf_dir, "documents")
     sh = (docs.select(F.col("doc_id").cast("bigint").alias("doc_id"),
                       F.explode(_shingles(F.col("text"))).alias("sh"))
           .withColumn("h", _hex60(F.col("sh")) % _P))
-    return (sh.crossJoin(F.broadcast(_perm_df(spark)))
-            .groupBy("doc_id", "perm_id")
-            .agg(F.min((F.col("pa") * F.col("h") + F.col("pb")) % _P)
-                 .cast("bigint").alias("minhash")))
+    aggs = [F.min((F.lit(_PERM_A[i]) * F.col("h") + F.lit(_PERM_B[i])) % _P)
+            .cast("bigint").alias(f"m{i}") for i in range(_NUM_PERMS)]
+    wide = sh.groupBy("doc_id").agg(*aggs)
+    stack = ", ".join(f"{i}, m{i}" for i in range(_NUM_PERMS))
+    return (wide.selectExpr(
+        "doc_id", f"stack({_NUM_PERMS}, {stack}) AS (perm_id, minhash)")
+        .select("doc_id", F.col("perm_id").cast("int").alias("perm_id"),
+                F.col("minhash").cast("bigint").alias("minhash")))
 
 
 def dedup_minhash_sig(spark, sf_dir):
@@ -219,25 +224,24 @@ GROUP BY a.doc_id, b.doc_id
 # --- SimHash -----------------------------------------------------------------
 
 def dedup_simhash(spark, sf_dir):
+    """One wide agg (48 signed-sum columns) instead of a 48× bit-explode:
+    the shuffle carries 48 partial balances per doc. The fingerprint folds
+    the balances with exact integer powers of two."""
     docs = _t(spark, sf_dir, "documents")
     toks = (docs.select(F.col("doc_id").cast("bigint").alias("doc_id"),
                         F.explode(F.array_distinct(_tokens(F.col("text"))))
                          .alias("tok"))
             .withColumn("h", _hex60(F.col("tok"))))
-    bits = (toks.crossJoin(F.broadcast(
-                spark.range(_SIMHASH_BITS)
-                .select(F.col("id").cast("int").alias("bit"))))
-            .withColumn("sign",
-                        F.when(F.expr("shiftright(h, bit) & 1") == 1, 1)
-                         .otherwise(-1))
-            .groupBy("doc_id", "bit")
-            .agg(F.sum("sign").alias("bal")))
-    # pow(2, bit) is exact for bit < 53; _SIMHASH_BITS = 48 keeps it so
-    return (bits.groupBy("doc_id")
-            .agg(F.sum(F.when(F.col("bal") > 0,
-                              F.pow(F.lit(2.0), F.col("bit")))
-                       .otherwise(F.lit(0.0))).cast("bigint")
-                 .alias("simhash")))
+    aggs = [F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1,
+                         1).otherwise(-1)).alias(f"b{b}")
+            for b in range(_SIMHASH_BITS)]
+    bal = toks.groupBy("doc_id").agg(*aggs)
+    fp = F.lit(0).cast("bigint")
+    for b in range(_SIMHASH_BITS):
+        fp = fp + F.when(F.col(f"b{b}") > 0,
+                         F.lit(1 << b).cast("bigint")) \
+                   .otherwise(F.lit(0).cast("bigint"))
+    return bal.select("doc_id", fp.alias("simhash"))
 
 
 SIMHASH_SQL = f"""

@@ -192,14 +192,17 @@ def text_fingerprint(spark, sf_dir):
     base = docs.select(F.col("doc_id").cast("bigint").alias("doc_id"),
                        norm.alias("norm"))
     # min-sampled rolling 8-gram fingerprint (winnowing-style lower bound):
-    # min over i of hash(substr(norm, i, 8)); md5-based so DuckDB matches
+    # min over sampled i of hash(substr(norm, i, 8)); md5-based so DuckDB
+    # matches. Stride 4 = winnowing density 1/4 (4× fewer hashes, still one
+    # window through every 8-char neighborhood).
     grams = base.select(
         "doc_id", F.md5("norm").alias("content_md5"),
         F.length("norm").cast("bigint").alias("n_chars_norm"),
         F.explode(
             F.transform(
                 F.sequence(F.lit(1),
-                           F.greatest(F.length("norm") - F.lit(7), F.lit(1))),
+                           F.greatest(F.length("norm") - F.lit(7), F.lit(1)),
+                           F.lit(4)),
                 lambda i: F.conv(F.substring(F.md5(F.substring("norm", i, 8)),
                                              1, 15), 16, 10).cast("bigint"))
         ).alias("gram_hash"))
@@ -215,7 +218,7 @@ WITH base AS (
 ), grams AS (
   SELECT doc_id, md5(norm) AS content_md5,
          length(norm)::BIGINT AS n_chars_norm,
-         unnest(list_transform(range(1, greatest(length(norm) - 7, 1) + 1),
+         unnest(list_transform(range(1, greatest(length(norm) - 7, 1) + 1, 4),
                 i -> ('0x' || substr(md5(substr(norm, i, 8)), 1, 15))::BIGINT))
            AS gram_hash
   FROM base

