@@ -26,6 +26,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_revenue_topk",
+    "q5_supplier_volume",
+    "q_rollup_orders",
+    "events_json_props",
     "j2_catalog_card",
     "w1_latest_event_per_user",
     "w2_running_value",

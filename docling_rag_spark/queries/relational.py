@@ -332,6 +332,166 @@ ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
 """
 
 
+# --- Q5-style: 5-way join + agg (join-order/broadcast chain exercise) --------
+
+def q5_supplier_volume(spark, sf_dir):
+    """Revenue by nation for suppliers serving same-nation customers —
+    a 5-way join where Catalyst broadcast-chains every dim (region, nation,
+    customer, supplier) around the lineitem fact; one shuffle on the agg
+    key. DECIMAL sums keep the oracle exact."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(18,2)")
+              - F.col("l_discount").cast("decimal(18,2)"))).cast("decimal(28,4)")
+    return (li
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+            .filter(cust.c_nationkey == supp.s_nationkey)
+            .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+            .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+            .groupBy("n_name")
+            .agg(F.sum(rev).cast("double").alias("revenue"),
+                 F.count("*").cast("bigint").alias("n_lineitems")))
+
+
+Q5_SQL = """
+SELECT n.n_name,
+       CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+              * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))
+              AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+       count(*)::BIGINT AS n_lineitems
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE c.c_nationkey = s.s_nationkey AND r.r_name = 'ASIA'
+GROUP BY n.n_name
+"""
+
+
+# --- ROLLUP: hierarchical totals ---------------------------------------------
+
+def q_rollup_orders(spark, sf_dir):
+    """GROUP BY ROLLUP(priority, status): per-group, per-priority subtotal,
+    and grand total in one pass (Expand + single shuffle). NULL grouping
+    slots are labeled so the oracle hash is stable."""
+    orders = _t(spark, sf_dir, "orders")
+    return (orders.rollup("o_orderpriority", "o_orderstatus")
+            .agg(F.count("*").cast("bigint").alias("n_orders"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                  .cast("double").alias("total_price"))
+            .select(F.coalesce("o_orderpriority", F.lit("<all>"))
+                     .alias("priority"),
+                    F.coalesce("o_orderstatus", F.lit("<all>"))
+                     .alias("status"),
+                    "n_orders", "total_price"))
+
+
+ROLLUP_SQL = """
+SELECT COALESCE(o_orderpriority, '<all>') AS priority,
+       COALESCE(o_orderstatus, '<all>') AS status,
+       count(*)::BIGINT AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+"""
+
+
+# --- F7: JSON parsing --------------------------------------------------------
+
+def events_json_props(spark, sf_dir):
+    """Parse the events ``props`` JSON column (F7: json encode/decode,
+    db_storage.py:80) and aggregate the extracted field."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (ev.groupBy("event_type")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.sum(k).cast("bigint").alias("sum_k"),
+                 F.min(k).cast("bigint").alias("min_k"),
+                 F.max(k).cast("bigint").alias("max_k")))
+
+
+JSON_PROPS_SQL = """
+SELECT event_type, count(*)::BIGINT AS n,
+       sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+       min(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS min_k,
+       max(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+# --- O5: snippet truncation --------------------------------------------------
+
+def doc_snippet(spark, sf_dir):
+    """First ~300 chars cut at a word boundary, newlines flattened — the
+    metadata-extraction snippet contract (O5, core/metadata.py:40-52 at
+    query scale; the 8000-char LLM budget scaled to the preview size F4)."""
+    docs = _t(spark, sf_dir, "documents")
+    flat = F.translate(F.col("text"), "\n", " ")
+    head = F.substring(flat, 1, 300)
+    # cut back to the last full word when we truncated mid-word
+    cut = F.when(F.length(flat) <= 300, head).otherwise(
+        F.substring(head, 1,
+                    F.length(head) - F.length(
+                        F.element_at(F.split(head, " "), -1))))
+    return docs.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                       F.trim(cut).alias("snippet"),
+                       F.length(F.trim(cut)).cast("bigint")
+                        .alias("snippet_len"))
+
+
+SNIPPET_SQL = """
+WITH h AS (
+  SELECT doc_id, replace(text, chr(10), ' ') AS flat,
+         substr(replace(text, chr(10), ' '), 1, 300) AS head
+  FROM documents
+)
+SELECT doc_id::BIGINT AS doc_id,
+       trim(CASE WHEN length(flat) <= 300 THEN head
+                 ELSE substr(head, 1, length(head) - length(
+                      list_extract(string_split(head, ' '), -1))) END)
+         AS snippet,
+       length(trim(CASE WHEN length(flat) <= 300 THEN head
+                 ELSE substr(head, 1, length(head) - length(
+                      list_extract(string_split(head, ' '), -1))) END))::BIGINT
+         AS snippet_len
+FROM h
+"""
+
+
+# --- skew pattern: salted two-phase aggregation ------------------------------
+
+def a2_salted_count(spark, sf_dir):
+    """Two-phase salted aggregation: phase 1 groups on (key, salt) —
+    spreading a hot key over 16 reducers — phase 2 merges the partials.
+    Result is identical to a plain GROUP BY (the oracle proves it); the
+    pattern is what a skewed 100 TB key distribution requires when AQE's
+    skew handling isn't enough."""
+    ev = _t(spark, sf_dir, "events")
+    salted = (ev.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
+              .groupBy("event_type", "salt")
+              .agg(F.count("*").alias("pn"),
+                   F.sum(F.floor(F.col("value") * 1000).cast("bigint"))
+                    .alias("pv")))
+    return (salted.groupBy("event_type")
+            .agg(F.sum("pn").cast("bigint").alias("n_events"),
+                 F.sum("pv").cast("bigint").alias("value_milli")))
+
+
+A2_SALTED_SQL = """
+SELECT event_type, count(*)::BIGINT AS n_events,
+       sum(floor(value * 1000)::BIGINT)::BIGINT AS value_milli
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "a1_docs_per_source": (a1_docs_per_source, A1_SQL),
     "j1_orders_customer": (j1_orders_customer, J1_SQL),
@@ -345,4 +505,9 @@ QUERIES = {
     "a3_distinct_lang_source": (a3_distinct_lang_source, A3_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_revenue_topk": (q3_revenue_topk, Q3_SQL),
+    "q5_supplier_volume": (q5_supplier_volume, Q5_SQL),
+    "q_rollup_orders": (q_rollup_orders, ROLLUP_SQL),
+    "events_json_props": (events_json_props, JSON_PROPS_SQL),
+    "doc_snippet": (doc_snippet, SNIPPET_SQL),
+    "a2_salted_count": (a2_salted_count, A2_SALTED_SQL),
 }
