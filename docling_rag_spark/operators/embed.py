@@ -33,17 +33,19 @@ from pyspark.sql import types as T
 
 from docling_rag_spark.config import EMBED_DIM
 
-_TOKEN_CACHE: dict[str, np.ndarray] = {}
+_TOKEN_CACHE: dict[tuple[str, int], np.ndarray] = {}
 _TOKEN_CACHE_MAX = 200_000
 
 
 def _token_vector(tok: str, dim: int) -> np.ndarray:
-    v = _TOKEN_CACHE.get(tok)
+    # keyed by (token, dim): a reused Python worker may embed at several
+    # dims; a token-only key would return wrongly-sized cached vectors
+    v = _TOKEN_CACHE.get((tok, dim))
     if v is None:
         seed = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
         v = np.random.default_rng(seed).standard_normal(dim).astype(np.float32)
         if len(_TOKEN_CACHE) < _TOKEN_CACHE_MAX:
-            _TOKEN_CACHE[tok] = v
+            _TOKEN_CACHE[(tok, dim)] = v
     return v
 
 

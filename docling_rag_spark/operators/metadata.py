@@ -38,7 +38,7 @@ def extract_metadata(extracted: DataFrame,
                      text_col: str = "extracted_text") -> DataFrame:
     """extracted(url, title?, …) → (url, title, author, topic, tags)."""
     toks = (extracted
-            .select("url", F.col("title").alias("heading_title"),
+            .select("url",
                     F.explode(
                         F.filter(
                             F.regexp_extract_all(
@@ -46,11 +46,11 @@ def extract_metadata(extracted: DataFrame,
                                 F.lit("[a-z][a-z0-9]{2,}"), 0),
                             lambda t: ~t.isin(*_STOPWORDS)))
                     .alias("tok")))
-    counts = toks.groupBy("url", "heading_title", "tok").count()
+    counts = toks.groupBy("url", "tok").count()
     w = Window.partitionBy("url").orderBy(F.desc("count"), F.asc("tok"))
     ranked = counts.withColumn("rank", F.row_number().over(w)) \
                    .filter(F.col("rank") <= _MAX_TAGS)
-    rolled = (ranked.groupBy("url", "heading_title")
+    rolled = (ranked.groupBy("url")
               .agg(F.transform(
                   F.array_sort(F.collect_list(F.struct("rank", "tok"))),
                   lambda s: s["tok"]).alias("tags")))

@@ -73,6 +73,8 @@ def _decode_one(payload: bytes) -> dict:
         return {"media_type": "video", "n_frames": n, "frames": frames}
     if kind == FAKE_AUD:
         (sr,) = struct.unpack_from("<I", payload, 4)
+        if sr == 0:
+            raise ValueError("audio payload with sample_rate=0")
         samples = np.frombuffer(payload, np.int16, offset=8)
         return {"media_type": "audio", "sample_rate": sr, "samples": samples}
     raise ValueError("unknown media container")
@@ -145,6 +147,8 @@ def sample_frames(media: DataFrame, max_frames: int = 10) -> DataFrame:
         for pdf in batches:
             urls, idxs, frames = [], [], []
             for url, payload in zip(pdf["url"], pdf["payload"]):
+                if payload is None:
+                    continue
                 try:
                     d = _decode_one(bytes(payload))
                 except (NotImplementedError, ValueError, struct.error):
@@ -180,6 +184,8 @@ def resize_images(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
             rows = []
             for url, payload in zip(pdf["url"], pdf["payload"]):
                 try:
+                    if payload is None:
+                        raise ValueError("null payload")
                     d = _decode_one(bytes(payload))
                     if d.get("media_type") != "image":
                         raise ValueError("not an image")

@@ -63,17 +63,25 @@ def search_chunks(spark: SparkSession,
                   query_text: str,
                   top_k: int = 5,
                   allowed_urls: DataFrame | None = None,
-                  allowed_empty: bool = False) -> DataFrame:
+                  allowed_empty: bool = False,
+                  store_is_empty: bool | None = None) -> DataFrame:
     """Exact top-k cosine search; mirrors run_search (core/search.py:10-23).
 
     ``allowed_empty=True`` is the resolved-∅ short-circuit: return an empty
     result WITHOUT scanning the chunk store (the reference returns before
     even constructing the embedder, cli/commands.py:171-174).
+
+    ``store_is_empty``: pass the emptiness verdict of the cheap *source*
+    table when ``chunk_embeddings`` is a derived pipeline (e.g. an
+    on-the-fly embed over extraction output) — the default ``isEmpty()``
+    probe would run a slice of that pipeline just to answer the P5 guard.
     """
     schema = "url string, chunk_id int, score double"
     if allowed_empty:
         return spark.createDataFrame([], schema)
-    if chunk_embeddings.isEmpty():
+    if store_is_empty is None:
+        store_is_empty = chunk_embeddings.isEmpty()
+    if store_is_empty:
         raise FileNotFoundError("no chunks in storage (reference "
                                 "db_storage.py:131-133 contract)")
     q = embed_texts([query_text])[0].tolist()

@@ -113,10 +113,15 @@ def run_extraction(
         # When buckets are too coarse for the requested parallelism, add a
         # salted secondary key: buckets split across tasks (a few files per
         # bucket) rather than capping parallelism at num_buckets.
-        if num_buckets >= 2 * salt_partitions:
-            sub = sub.repartition(num_buckets, F.col("bucket"))
+        # repartitionByRange (not hash-repartition): with one partition per
+        # active bucket, range boundaries land between bucket ids, so every
+        # partition gets exactly ~one whole bucket — hash partitioning on a
+        # low-cardinality key leaves ~1/e of slots empty and stacks 3-4
+        # buckets on others (stragglers in the expensive parse stage).
+        if len(batch) >= 2 * salt_partitions:
+            sub = sub.repartitionByRange(len(batch), F.col("bucket"))
         else:
-            sub = sub.repartition(max(num_buckets, salt_partitions),
+            sub = sub.repartition(max(len(batch), salt_partitions),
                                   F.col("bucket"),
                                   F.xxhash64("url", F.lit(0x5A17)))
 
@@ -134,27 +139,38 @@ def run_extraction(
          .parquet(os.path.join(staging, "docs")))
 
         _t1 = _time.time()
-        docs = spark.read.parquet(os.path.join(staging, "docs"))
-        (chunks_table(docs)
-         .withColumn("bucket", bucket_of(F.col("url"), num_buckets))
-         .write.partitionBy("bucket").mode("overwrite")
-         .parquet(os.path.join(staging, "chunks")))
-        _t2 = _time.time()
-        (extracted_table(docs)
-         .withColumn("bucket", bucket_of(F.col("url"), num_buckets))
-         .write.partitionBy("bucket").mode("overwrite")
-         .parquet(os.path.join(staging, "extracted")))
-        _t3 = _time.time()
+        # an all-empty batch (no urls hash into these buckets) writes only
+        # _SUCCESS; read-back would raise UNABLE_TO_INFER_SCHEMA — skip the
+        # derivations and still commit zero-count lineage so resume skips it
+        docs_dir = os.path.join(staging, "docs")
+        has_rows = any(
+            f.endswith(".parquet")
+            for _root, _dirs, files in os.walk(docs_dir) for f in files)
+        if has_rows:
+            docs = spark.read.parquet(docs_dir)
+            (chunks_table(docs)
+             .withColumn("bucket", bucket_of(F.col("url"), num_buckets))
+             .write.partitionBy("bucket").mode("overwrite")
+             .parquet(os.path.join(staging, "chunks")))
+            _t2 = _time.time()
+            (extracted_table(docs)
+             .withColumn("bucket", bucket_of(F.col("url"), num_buckets))
+             .write.partitionBy("bucket").mode("overwrite")
+             .parquet(os.path.join(staging, "extracted")))
+            _t3 = _time.time()
 
-        # narrow-column scan: count/sum over (bucket, n_chunks, is_error)
-        stats = {
-            row["bucket"]: row
-            for row in docs.groupBy("bucket").agg(
-                F.count("*").alias("docs"),
-                F.sum("n_chunks").alias("chunks"),
-                F.sum("is_error").alias("failures"),
-            ).collect()
-        }
+            # narrow-column scan over (bucket, n_chunks, is_error)
+            stats = {
+                row["bucket"]: row
+                for row in docs.groupBy("bucket").agg(
+                    F.count("*").alias("docs"),
+                    F.sum("n_chunks").alias("chunks"),
+                    F.sum("is_error").alias("failures"),
+                ).collect()
+            }
+        else:
+            _t2 = _t3 = _time.time()
+            stats = {}
 
         _t4 = _time.time()
         if debug:

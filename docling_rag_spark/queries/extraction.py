@@ -96,8 +96,12 @@ def search_topk_q(spark, sf_dir):
     from docling_rag_spark.operators.search import search_chunks
     emb = embed_chunks(extract_chunks(spark, sf_dir)
                        .withColumnRenamed("text", "context_text"))
+    # emptiness verdict from the static source table (P5 guard) — probing
+    # the derived embed pipeline would execute a slice of it twice
     return search_chunks(spark, emb, "query engine scan filter join",
-                         top_k=10)
+                         top_k=10,
+                         store_is_empty=_t(spark, sf_dir,
+                                           "documents").isEmpty())
 
 
 def media_describe_q(spark, sf_dir):

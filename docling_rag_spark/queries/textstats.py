@@ -61,8 +61,9 @@ def text_token_count(spark, sf_dir):
 TOKEN_COUNT_SQL = r"""
 SELECT doc_id::BIGINT AS doc_id,
        len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS n_words,
-       (list_sum(list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
-                                w -> CAST(ceil(length(w) / 8.0) AS BIGINT)))
+       (COALESCE(list_sum(list_transform(
+                    regexp_extract_all(lower(text), '[a-z0-9]+'),
+                    w -> CAST(ceil(length(w) / 8.0) AS BIGINT))), 0)
         + length(regexp_replace(text, '[^.,;:!?()\[\]{}"''`]', '', 'g')))::BIGINT
          AS n_tokens
 FROM documents
@@ -111,7 +112,7 @@ WITH base AS (
 ), m AS (
   SELECT doc_id, n_chars_measured, punct,
          len(toks)::BIGINT AS n_words,
-         list_sum(list_transform(toks, w -> length(w)))
+         COALESCE(list_sum(list_transform(toks, w -> length(w))), 0)
            / greatest(len(toks), 1) AS avg_word_len,
          len(list_filter(toks, w -> w IN ('the','a','of','and','to',
                'in','is','that','it','for')))

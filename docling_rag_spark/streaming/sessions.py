@@ -69,17 +69,22 @@ def _session_fn(gap_seconds: float, idle_flush_ms: int | None):
                 start_us, last_us, n = state.get
             else:
                 start_us = last_us = n = None
+            # a group's batch data may arrive as several Arrow chunks —
+            # sorting per chunk would process out of ts order across the
+            # chunk boundary; collect all timestamps first, sort once
+            all_ts: list = []
             for pdf in pdfs:
-                for ts in sorted(pdf["ts"]):
-                    t = _us(ts)
-                    if start_us is None:
-                        start_us, last_us, n = t, t, 1
-                    elif t - last_us > gap_us:
-                        out.append((user_id, _ts(start_us), _ts(last_us),
-                                    n, "gap"))
-                        start_us, last_us, n = t, t, 1
-                    else:
-                        last_us, n = max(last_us, t), n + 1
+                all_ts.extend(pdf["ts"])
+            for ts in sorted(all_ts):
+                t = _us(ts)
+                if start_us is None:
+                    start_us, last_us, n = t, t, 1
+                elif t - last_us > gap_us:
+                    out.append((user_id, _ts(start_us), _ts(last_us),
+                                n, "gap"))
+                    start_us, last_us, n = t, t, 1
+                else:
+                    last_us, n = max(last_us, t), n + 1
             if start_us is not None:
                 state.update((start_us, last_us, n))
                 if idle_flush_ms is not None:

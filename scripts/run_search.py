@@ -54,8 +54,11 @@ def main() -> int:
                    .filter(F.col("url").startswith(args.url_prefix)))
 
     try:
+        # P5 emptiness verdict from the cheap source table, so an
+        # on-the-fly embed pipeline isn't executed twice
         hits = search_chunks(spark, emb, args.query, top_k=args.top_k,
-                             allowed_urls=allowed)
+                             allowed_urls=allowed,
+                             store_is_empty=chunks.isEmpty())
     except FileNotFoundError:
         print(json.dumps({"error": "no chunks in storage"}))
         spark.stop()
