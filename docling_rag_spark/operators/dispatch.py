@@ -13,6 +13,7 @@ from __future__ import annotations
 import re
 
 from docling_rag_spark.operators.blocks import Block
+from docling_rag_spark.operators.extract_docx import extract_docx, is_docx
 from docling_rag_spark.operators.extract_html import extract_html
 from docling_rag_spark.operators.extract_markdown import extract_markdown
 from docling_rag_spark.operators.extract_pdf import extract_pdf
@@ -24,10 +25,12 @@ _HTML_TAG_RE = re.compile(rb"<(?:p|div|h[1-6]|article|section|table|a)\b", re.IG
 
 
 def sniff_format(html: bytes | None, text: str | None) -> str:
-    """'pdf' | 'html' | 'markdown' | 'empty' | 'unsupported'."""
+    """'pdf' | 'docx' | 'html' | 'markdown' | 'empty' | 'unsupported'."""
     if html:
         if html.startswith(b"%PDF-"):
             return "pdf"
+        if is_docx(html):
+            return "docx"
         head = html[:4096]
         if _HTML_SNIFF_RE.search(head) or _HTML_TAG_RE.search(head):
             return "html"
@@ -48,6 +51,8 @@ def parse_document(html: bytes | None, text: str | None
     try:
         if fmt == "pdf":
             blocks = extract_pdf(html)  # type: ignore[arg-type]
+        elif fmt == "docx":
+            blocks = extract_docx(html)  # type: ignore[arg-type]
         elif fmt == "html":
             blocks = extract_html(html.decode("utf-8", errors="replace"))  # type: ignore[union-attr]
         elif fmt == "markdown":

@@ -1,0 +1,163 @@
+"""DOCX (OOXML WordprocessingML) -> Block list.
+
+Closes the last format-parity gap with the reference's
+``SUPPORTED_EXTENSIONS = {.pdf, .docx, .md}`` (core/parser.py:9): a .docx is
+a zip archive whose main part ``word/document.xml`` holds the body as
+``w:p`` paragraphs and ``w:tbl`` tables. Stdlib-only parse (zipfile +
+xml.etree — defused by construction: we never resolve external entities;
+ElementTree does not expand external DTDs).
+
+Block mapping (mirrors the docling DocumentConverter item labels the
+reference chunks over, SURVEY.md §2.10 X1/X2):
+  * paragraph with ``w:pStyle`` matching Heading{1..6}/Title → heading
+    (Title = level 1);
+  * paragraph in a Code/SourceCode-styled run → code;
+  * ``w:tbl`` → one atomic table block, cells joined ``' | '``, rows by
+    newline (same serialization as the HTML table path);
+  * other paragraphs → text; empty paragraphs dropped;
+  * text runs concatenate ``w:t`` leaves; ``w:tab`` → tab, ``w:br`` →
+    newline inside the paragraph.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import zipfile
+import xml.etree.ElementTree as ET
+
+from docling_rag_spark.operators.blocks import Block
+
+_W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+_HEADING_STYLE_RE = re.compile(r"(?:heading|berschrift)(\d)$", re.IGNORECASE)
+_CODE_STYLE_RE = re.compile(r"(?:code|sourcecode|verbatim)", re.IGNORECASE)
+
+DOCX_MAGIC = b"PK\x03\x04"
+
+
+def is_docx(payload: bytes) -> bool:
+    """Cheap containment check: zip magic + the main document part."""
+    if not payload.startswith(DOCX_MAGIC):
+        return False
+    try:
+        with zipfile.ZipFile(io.BytesIO(payload)) as z:
+            return "word/document.xml" in z.namelist()
+    except (zipfile.BadZipFile, OSError):
+        return False
+
+
+def _run_text(p) -> str:
+    out: list[str] = []
+    for node in p.iter():
+        tag = node.tag
+        if tag == f"{_W}t":
+            out.append(node.text or "")
+        elif tag == f"{_W}tab":
+            out.append("\t")
+        elif tag == f"{_W}br":
+            out.append("\n")
+    return "".join(out)
+
+
+def _p_style(p) -> str:
+    el = p.find(f"{_W}pPr/{_W}pStyle")
+    return (el.get(f"{_W}val") or "") if el is not None else ""
+
+
+def _table_text(tbl) -> str:
+    rows: list[str] = []
+    for tr in tbl.findall(f"{_W}tr"):
+        cells = []
+        for tc in tr.findall(f"{_W}tc"):
+            cells.append(" ".join(
+                t for t in (_run_text(p).strip()
+                            for p in tc.findall(f"{_W}p")) if t))
+        if any(cells):
+            rows.append(" | ".join(cells))
+    return "\n".join(rows)
+
+
+def extract_docx(payload: bytes) -> list[Block]:
+    with zipfile.ZipFile(io.BytesIO(payload)) as z:
+        xml_bytes = z.read("word/document.xml")
+    root = ET.fromstring(xml_bytes)
+    body = root.find(f"{_W}body")
+    if body is None:
+        return []
+    blocks: list[Block] = []
+    for child in body:
+        if child.tag == f"{_W}p":
+            style = _p_style(child)
+            text = _run_text(child).strip()
+            if not text:
+                continue
+            m = _HEADING_STYLE_RE.search(style)
+            if m or style.lower() == "title":
+                level = int(m.group(1)) if m else 1
+                blocks.append(Block("heading", re.sub(r"\s+", " ", text),
+                                    level=min(level, 6)))
+            elif _CODE_STYLE_RE.search(style):
+                blocks.append(Block("code", text))
+            else:
+                blocks.append(Block("text", re.sub(r"\s+", " ", text)))
+        elif child.tag == f"{_W}tbl":
+            body_text = _table_text(child)
+            if body_text:
+                blocks.append(Block("table", body_text))
+    return blocks
+
+
+# --- deterministic fixture builder (tests / synthetic corpus) ----------------
+
+_CONTENT_TYPES = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Types xmlns="http://schemas.openxmlformats.org/package/2006/'
+    'content-types"><Default Extension="xml" ContentType="application/xml"/>'
+    '<Override PartName="/word/document.xml" ContentType="application/vnd.'
+    'openxmlformats-officedocument.wordprocessingml.document.main+xml"/>'
+    "</Types>")
+_RELS = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/'
+    'relationships"><Relationship Id="rId1" Type="http://schemas.'
+    'openxmlformats.org/officeDocument/2006/relationships/officeDocument" '
+    'Target="word/document.xml"/></Relationships>')
+
+
+def _esc(s: str) -> str:
+    return (s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;"))
+
+
+def build_docx(items: list[tuple[str, object]]) -> bytes:
+    """items: ('heading', (level, text)) | ('text'|'code', text)
+    | ('table', [[cell, ...], ...]) → minimal valid .docx bytes."""
+    ns = 'xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"'
+    parts: list[str] = [f'<?xml version="1.0" encoding="UTF-8" '
+                        f'standalone="yes"?><w:document {ns}><w:body>']
+    for kind, payload in items:
+        if kind == "heading":
+            level, text = payload
+            parts.append(
+                f'<w:p><w:pPr><w:pStyle w:val="Heading{level}"/></w:pPr>'
+                f"<w:r><w:t>{_esc(text)}</w:t></w:r></w:p>")
+        elif kind == "code":
+            parts.append(
+                '<w:p><w:pPr><w:pStyle w:val="SourceCode"/></w:pPr>'
+                f"<w:r><w:t>{_esc(str(payload))}</w:t></w:r></w:p>")
+        elif kind == "table":
+            rows = "".join(
+                "<w:tr>" + "".join(
+                    f"<w:tc><w:p><w:r><w:t>{_esc(str(c))}</w:t></w:r></w:p>"
+                    "</w:tc>" for c in row) + "</w:tr>"
+                for row in payload)
+            parts.append(f"<w:tbl>{rows}</w:tbl>")
+        else:
+            parts.append(f"<w:p><w:r><w:t>{_esc(str(payload))}</w:t></w:r>"
+                         "</w:p>")
+    parts.append("</w:body></w:document>")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", _CONTENT_TYPES)
+        z.writestr("_rels/.rels", _RELS)
+        z.writestr("word/document.xml", "".join(parts))
+    return buf.getvalue()

@@ -157,3 +157,19 @@ def small_peers_markdown() -> str:
     """Several small same-heading paragraphs — the chunker must merge them."""
     paras = "\n\n".join(f"Short paragraph {i} fits easily." for i in range(5))
     return f"# Peers\n\n{paras}\n"
+
+
+DOCX_FIXTURE_ITEMS = [
+    ("heading", (1, "Quarterly Extraction Report")),
+    ("text", "Throughput grew with partition-aligned writes and salted "
+             "repartitioning across executors."),
+    ("heading", (2, "Latency Table")),
+    ("table", [["stage", "p99"], ["parse", "840ms"], ["write", "120ms"]]),
+    ("code", "spark.read.parquet('pages')"),
+]
+
+
+def build_fixture_docx() -> bytes:
+    """Authored .docx fixture (golden-checked end-to-end)."""
+    from docling_rag_spark.operators.extract_docx import build_docx
+    return build_docx(DOCX_FIXTURE_ITEMS)

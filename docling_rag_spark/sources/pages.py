@@ -59,6 +59,8 @@ FIXTURE_ROWS: list[tuple[str, bytes | None, str | None, str]] = [
     ("https://fixtures.example/docs/wet.txt", None,
      "Plain pre-extracted WET text about shuffle cost and partition pruning.\n\n"
      "It has two paragraphs so the chunker sees two blocks.", "en"),
+    ("https://fixtures.example/docs/report.docx", FX.build_fixture_docx(),
+     None, "en"),
 ]
 
 
@@ -127,9 +129,21 @@ def _row(doc_id: int, seed: int, heaviness: int = 1,
     if cls < 45:
         html = _html_doc(rng, heaviness=heaviness).encode()
         name, ext = "page", "html"
-    elif cls < 75:
+    elif cls < 70:
         html = _markdown_doc(rng, heaviness=heaviness).encode()
         name, ext = "doc", "md"
+    elif cls < 75:
+        from docling_rag_spark.operators.extract_docx import build_docx
+        items: list = [("heading", (1, " ".join(
+            rng.choices(_VOCAB, k=3)).title()))]
+        for _ in range(rng.randint(1, 3) * heaviness):
+            items.append(("text", _paragraph(rng)))
+            if rng.random() < 0.3:
+                items.append(("table", [[rng.choice(_VOCAB),
+                                         str(rng.randint(0, 99))]
+                                        for _ in range(2)]))
+        html = build_docx(items)
+        name, ext = "memo", "docx"
     elif cls < 83:
         pages = [_paragraph(rng, lo=3, hi=6)
                  for _ in range(rng.randint(2, 4) * heaviness)]

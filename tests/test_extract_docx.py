@@ -1,0 +1,55 @@
+"""DOCX extraction: format parity with the reference's .docx path
+(core/parser.py:9). Stdlib zip+XML parse, heading/code/table mapping,
+dispatch sniffing, and end-to-end chunking."""
+
+from __future__ import annotations
+
+from docling_rag_spark.operators.blocks import chunk_blocks
+from docling_rag_spark.operators.dispatch import parse_document, sniff_format
+from docling_rag_spark.operators.extract_docx import build_docx, extract_docx
+
+DOC_ITEMS = [
+    ("heading", (1, "Database Architecture")),
+    ("text", "The DWH uses a star schema with fact and dimension tables."),
+    ("heading", (2, "Query Layer")),
+    ("text", "Queries  run   declaratively."),
+    ("code", "SELECT 1;"),
+    ("table", [["metric", "value"], ["p99", "120ms"]]),
+]
+
+
+def test_extract_docx_blocks():
+    blocks = extract_docx(build_docx(DOC_ITEMS))
+    kinds = [(b.kind, b.text) for b in blocks]
+    assert kinds == [
+        ("heading", "Database Architecture"),
+        ("text", "The DWH uses a star schema with fact and dimension tables."),
+        ("heading", "Query Layer"),
+        ("text", "Queries run declaratively."),   # whitespace collapsed
+        ("code", "SELECT 1;"),
+        ("table", "metric | value\np99 | 120ms"),
+    ]
+    assert blocks[0].level == 1 and blocks[2].level == 2
+
+
+def test_docx_dispatch_and_chunking():
+    payload = build_docx(DOC_ITEMS)
+    assert sniff_format(payload, None) == "docx"
+    fmt, blocks, status, err = parse_document(payload, None)
+    assert (fmt, status, err) == ("docx", "ok", None)
+    extracted, chunks = chunk_blocks(blocks)
+    # table and code are atomic chunks; heading path propagates
+    types = [c.element_type for c in chunks]
+    assert "code" in types and "table" in types
+    code = next(c for c in chunks if c.element_type == "code")
+    assert code.headings == ["Database Architecture", "Query Layer"]
+    for c in chunks:
+        assert extracted.encode()[c.span[0]:c.span[1]].decode() == c.text
+
+
+def test_docx_corrupt_fail_soft():
+    junk = b"PK\x03\x04 not really a zip"
+    assert sniff_format(junk, None) in ("unsupported", "markdown")
+    fmt, blocks, status, err = parse_document(
+        build_docx(DOC_ITEMS)[:80], None)  # truncated archive
+    assert status in ("ok", "error")  # never raises
