@@ -292,8 +292,38 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_MAX_HAMMING}
 """
 
 
+
+
+def dedup_keep_first(spark, sf_dir):
+    """Materialize the dedup survivor set: one row per content hash, the
+    lowest doc_id wins (window filter — the DELETE-duplicates shape a
+    training-data pipeline actually runs; pairs/groups queries above are
+    the diagnostics)."""
+    from pyspark.sql import Window
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    return (docs.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                        "source", F.md5(norm).alias("content_hash"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", "source", "content_hash"))
+
+
+DEDUP_KEEP_FIRST_SQL = """
+SELECT doc_id::BIGINT AS doc_id, source,
+       md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+         AS content_hash
+FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+  ORDER BY doc_id) = 1
+"""
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_keep_first": (dedup_keep_first, DEDUP_KEEP_FIRST_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
     "dedup_minhash_sig": (dedup_minhash_sig, MINHASH_SIG_SQL),
     "dedup_minhash_pairs": (dedup_minhash_pairs, MINHASH_PAIRS_SQL),

@@ -492,6 +492,39 @@ FROM events GROUP BY event_type
 """
 
 
+
+
+# --- set operations ----------------------------------------------------------
+
+def set_ops_customers(spark, sf_dir):
+    """INTERSECT / EXCEPT surface (absent in the reference — engine
+    completeness): high-balance customers split by whether they have
+    orders. Both branches reuse the same scans; the set ops shuffle on the
+    full row (distinct semantics)."""
+    cust = _t(spark, sf_dir, "customer")
+    rich = (cust.filter(F.col("c_acctbal") > 5000)
+            .select(F.col("c_custkey").cast("bigint").alias("c_custkey")))
+    with_orders = (_t(spark, sf_dir, "orders")
+                   .select(F.col("o_custkey").cast("bigint")
+                           .alias("c_custkey")).distinct())
+    both = rich.intersect(with_orders).withColumn("segment",
+                                                  F.lit("rich_with_orders"))
+    only_rich = rich.exceptAll(with_orders).withColumn(
+        "segment", F.lit("rich_no_orders"))
+    return both.unionByName(only_rich)
+
+
+SET_OPS_SQL = """
+SELECT c_custkey::BIGINT AS c_custkey, 'rich_with_orders' AS segment
+FROM (SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+      INTERSECT SELECT o_custkey FROM orders)
+UNION ALL
+SELECT c_custkey::BIGINT AS c_custkey, 'rich_no_orders' AS segment
+FROM (SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+      EXCEPT SELECT o_custkey FROM orders)
+"""
+
+
 QUERIES = {
     "a1_docs_per_source": (a1_docs_per_source, A1_SQL),
     "j1_orders_customer": (j1_orders_customer, J1_SQL),
@@ -510,4 +543,5 @@ QUERIES = {
     "events_json_props": (events_json_props, JSON_PROPS_SQL),
     "doc_snippet": (doc_snippet, SNIPPET_SQL),
     "a2_salted_count": (a2_salted_count, A2_SALTED_SQL),
+    "set_ops_customers": (set_ops_customers, SET_OPS_SQL),
 }
