@@ -525,6 +525,98 @@ FROM (SELECT c_custkey FROM customer WHERE c_acctbal > 5000
 """
 
 
+
+
+# --- time-series: tumbling-window aggregation --------------------------------
+
+def events_hourly(spark, sf_dir):
+    """Tumbling 1-hour windows over the event stream (batch shape of the
+    Structured Streaming windowed agg; date_trunc is the portable bucket)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.date_format(F.date_trunc("hour", "ts"),
+                                     "yyyy-MM-dd HH:mm:ss").alias("hour"),
+                       "event_type")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.sum(F.floor(F.col("value") * 1000).cast("bigint"))
+                  .cast("bigint").alias("value_milli")))
+
+
+EVENTS_HOURLY_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type, count(*)::BIGINT AS n,
+       sum(floor(value * 1000)::BIGINT)::BIGINT AS value_milli
+FROM events GROUP BY 1, 2
+"""
+
+
+# --- as-of join: latest prior click per event --------------------------------
+
+def events_asof_prev_click(spark, sf_dir):
+    """As-of (point-in-time) join expressed as an ignore-nulls window —
+    for every event, the most recent preceding 'click' of the same user.
+    The window form beats an actual range self-join: one shuffle on
+    user_id, no quadratic candidate set (the scale answer for as-of joins
+    when the probe and build sides share a partition key)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    prev_click = F.last(
+        F.when(F.col("event_type") == "click", F.col("ts")),
+        ignorenulls=True).over(w)
+    return (ev.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "event_type",
+        (F.unix_timestamp("ts") - F.unix_timestamp(prev_click))
+        .cast("bigint").alias("secs_since_click")))
+
+
+ASOF_SQL = """
+SELECT event_id::BIGINT AS event_id, user_id::BIGINT AS user_id, event_type,
+       (floor(epoch(ts))::BIGINT - floor(epoch(
+          last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        ))::BIGINT) AS secs_since_click
+FROM events
+"""
+
+
+# --- exact quantiles ---------------------------------------------------------
+
+def events_quantiles(spark, sf_dir):
+    """Exact discrete percentiles per group (percentile_disc picks real
+    data values, so both engines agree bit-for-bit — no interpolation)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)")
+                 .alias("p50"),
+                 F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)")
+                 .alias("p90"),
+                 F.min("value").alias("vmin"),
+                 F.max("value").alias("vmax")))
+
+
+QUANTILES_SQL = """
+SELECT event_type,
+       quantile_disc(value, 0.5) AS p50,
+       quantile_disc(value, 0.9) AS p90,
+       min(value) AS vmin, max(value) AS vmax
+FROM events GROUP BY event_type
+"""
+
+
+def events_approx_users(spark, sf_dir):
+    """HyperLogLog approximate distinct (sketch differs from DuckDB's —
+    rows-only check; the exact twin is a3/a1-style distinct counts)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.approx_count_distinct("user_id").cast("bigint")
+                 .alias("approx_users"),
+                 F.count_distinct("user_id").cast("bigint")
+                  .alias("exact_users")))
+
+
 QUERIES = {
     "a1_docs_per_source": (a1_docs_per_source, A1_SQL),
     "j1_orders_customer": (j1_orders_customer, J1_SQL),
@@ -544,4 +636,8 @@ QUERIES = {
     "doc_snippet": (doc_snippet, SNIPPET_SQL),
     "a2_salted_count": (a2_salted_count, A2_SALTED_SQL),
     "set_ops_customers": (set_ops_customers, SET_OPS_SQL),
+    "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
+    "events_asof_prev_click": (events_asof_prev_click, ASOF_SQL),
+    "events_quantiles": (events_quantiles, QUANTILES_SQL),
+    "events_approx_users": (events_approx_users, None),
 }

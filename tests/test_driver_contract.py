@@ -17,7 +17,8 @@ def test_contract_shapes():
     # the documented split: non-SQL-expressible ops are rows-only
     rows_only = set(qs) - set(oracles)
     assert rows_only == {"extract_chunks", "extract_docs", "embed_chunks",
-                         "search_topk", "media_describe"}
+                         "search_topk", "media_describe",
+                         "events_approx_users"}
 
 
 def test_entry_smoke(spark):
