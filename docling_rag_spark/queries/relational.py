@@ -617,6 +617,47 @@ def events_approx_users(spark, sf_dir):
                   .alias("exact_users")))
 
 
+
+
+# --- range join --------------------------------------------------------------
+
+def events_range_join(spark, sf_dir):
+    """Interval/range join: for each error event, count the same user's
+    clicks in the preceding 10 minutes. The equi-key (user_id) carries the
+    shuffle; the range predicate is a post-join filter — at scale this is
+    a co-partitioned sort-merge join, never a cross join."""
+    ev = _t(spark, sf_dir, "events")
+    errors = (ev.filter(F.col("event_type") == "error")
+              .select(F.col("event_id").alias("err_id"),
+                      F.col("user_id").alias("u"),
+                      F.col("ts").alias("err_ts")))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("u"),
+                      F.col("ts").alias("click_ts")))
+    joined = errors.join(
+        clicks,
+        (errors.u == clicks.u)
+        & (clicks.click_ts >= errors.err_ts - F.expr("INTERVAL 10 MINUTES"))
+        & (clicks.click_ts < errors.err_ts), "left")
+    return (joined.groupBy("err_id")
+            .agg(F.count("click_ts").cast("bigint")
+                 .alias("clicks_before"))
+            .select(F.col("err_id").cast("bigint").alias("err_id"),
+                    "clicks_before"))
+
+
+RANGE_JOIN_SQL = """
+SELECT e.event_id::BIGINT AS err_id,
+       count(c.ts)::BIGINT AS clicks_before
+FROM events e
+LEFT JOIN events c
+  ON c.user_id = e.user_id AND c.event_type = 'click'
+ AND c.ts >= e.ts - INTERVAL 10 MINUTE AND c.ts < e.ts
+WHERE e.event_type = 'error'
+GROUP BY e.event_id
+"""
+
+
 QUERIES = {
     "a1_docs_per_source": (a1_docs_per_source, A1_SQL),
     "j1_orders_customer": (j1_orders_customer, J1_SQL),
@@ -640,4 +681,5 @@ QUERIES = {
     "events_asof_prev_click": (events_asof_prev_click, ASOF_SQL),
     "events_quantiles": (events_quantiles, QUANTILES_SQL),
     "events_approx_users": (events_approx_users, None),
+    "events_range_join": (events_range_join, RANGE_JOIN_SQL),
 }
