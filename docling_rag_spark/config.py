@@ -33,7 +33,7 @@ HTML_DROP_HINTS = (
 TOKEN_PIECE_LEN = 8
 
 # --- Formats (reference: core/parser.py:9 SUPPORTED_EXTENSIONS) --------------
-SUPPORTED_FORMATS = ("html", "pdf", "markdown")
+SUPPORTED_FORMATS = ("html", "pdf", "markdown", "docx")
 
 # --- Metadata normalization (reference: core/metadata.py:65-83) --------------
 NULLISH_STRINGS = ("", "null", "none")

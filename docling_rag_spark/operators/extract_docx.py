@@ -33,17 +33,18 @@ _HEADING_STYLE_RE = re.compile(r"(?:heading|berschrift)(\d)$", re.IGNORECASE)
 _CODE_STYLE_RE = re.compile(r"(?:code|sourcecode|verbatim)", re.IGNORECASE)
 
 DOCX_MAGIC = b"PK\x03\x04"
+# decompression cap: a 1 MB crafted docx can inflate ~1000:1; an oversized
+# document.xml becomes a catchable fail-soft error, not an executor OOM
+MAX_DOCUMENT_XML_BYTES = 64 * 1024 * 1024
 
 
 def is_docx(payload: bytes) -> bool:
-    """Cheap containment check: zip magic + the main document part."""
-    if not payload.startswith(DOCX_MAGIC):
-        return False
-    try:
-        with zipfile.ZipFile(io.BytesIO(payload)) as z:
-            return "word/document.xml" in z.namelist()
-    except (zipfile.BadZipFile, OSError):
-        return False
+    """Sniff without opening the archive: zip magic + the main part's name,
+    which appears uncompressed in the local file header / central directory
+    (a full ZipFile parse here would be repeated by extract_docx on every
+    row of the hot path)."""
+    return (payload.startswith(DOCX_MAGIC)
+            and payload.find(b"word/document.xml") != -1)
 
 
 def _run_text(p) -> str:
@@ -79,6 +80,11 @@ def _table_text(tbl) -> str:
 
 def extract_docx(payload: bytes) -> list[Block]:
     with zipfile.ZipFile(io.BytesIO(payload)) as z:
+        info = z.getinfo("word/document.xml")
+        if info.file_size > MAX_DOCUMENT_XML_BYTES:
+            raise ValueError(
+                f"document.xml inflates to {info.file_size} bytes "
+                f"(cap {MAX_DOCUMENT_XML_BYTES}); refusing decompression")
         xml_bytes = z.read("word/document.xml")
     root = ET.fromstring(xml_bytes)
     body = root.find(f"{_W}body")

@@ -47,6 +47,16 @@ def _hex60(col):
 _HEX60_SQL = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
 
 
+def _content_hash(col):
+    """Canonical content hash: whitespace-collapsed lowercase md5 — ONE
+    definition shared by every exact-dedup variant (a drifted copy would
+    silently split their hash spaces)."""
+    return F.md5(F.regexp_replace(F.trim(F.lower(col)), r"\s+", " "))
+
+
+_CONTENT_HASH_SQL = ("md5(regexp_replace(trim(lower({x})), '\\s+', ' ', 'g'))")
+
+
 def _shingles(col, k=_SHINGLE_K):
     toks = _tokens(col)
     return F.array_distinct(F.transform(
@@ -66,17 +76,15 @@ _SHINGLES_SQL = """
 
 def dedup_exact(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
     return (docs.select(F.col("doc_id").cast("bigint").alias("doc_id"),
-                        F.md5(norm).alias("content_hash"))
+                        _content_hash(F.col("text")).alias("content_hash"))
             .groupBy("content_hash")
             .agg(F.count("*").cast("bigint").alias("n_copies"),
                  F.min("doc_id").cast("bigint").alias("keeper_doc_id")))
 
 
-DEDUP_EXACT_SQL = """
-SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
-         AS content_hash,
+DEDUP_EXACT_SQL = f"""
+SELECT {_CONTENT_HASH_SQL.format(x='text')} AS content_hash,
        count(*)::BIGINT AS n_copies,
        min(doc_id)::BIGINT AS keeper_doc_id
 FROM documents GROUP BY 1
@@ -301,22 +309,21 @@ def dedup_keep_first(spark, sf_dir):
     the diagnostics)."""
     from pyspark.sql import Window
     docs = _t(spark, sf_dir, "documents")
-    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
     w = Window.partitionBy("content_hash").orderBy("doc_id")
     return (docs.select(F.col("doc_id").cast("bigint").alias("doc_id"),
-                        "source", F.md5(norm).alias("content_hash"))
+                        "source",
+                        _content_hash(F.col("text")).alias("content_hash"))
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("doc_id", "source", "content_hash"))
 
 
-DEDUP_KEEP_FIRST_SQL = """
+DEDUP_KEEP_FIRST_SQL = f"""
 SELECT doc_id::BIGINT AS doc_id, source,
-       md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
-         AS content_hash
+       {_CONTENT_HASH_SQL.format(x='text')} AS content_hash
 FROM documents
 QUALIFY row_number() OVER (
-  PARTITION BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+  PARTITION BY {_CONTENT_HASH_SQL.format(x='text')}
   ORDER BY doc_id) = 1
 """
 

@@ -509,7 +509,9 @@ def set_ops_customers(spark, sf_dir):
                            .alias("c_custkey")).distinct())
     both = rich.intersect(with_orders).withColumn("segment",
                                                   F.lit("rich_with_orders"))
-    only_rich = rich.exceptAll(with_orders).withColumn(
+    # subtract = distinct EXCEPT, matching the oracle's EXCEPT (exceptAll
+    # would be multiset semantics and diverge on duplicate input rows)
+    only_rich = rich.subtract(with_orders).withColumn(
         "segment", F.lit("rich_no_orders"))
     return both.unionByName(only_rich)
 

@@ -48,8 +48,24 @@ def test_docx_dispatch_and_chunking():
 
 
 def test_docx_corrupt_fail_soft():
+    # zip magic without the document part: not docx, routed elsewhere
     junk = b"PK\x03\x04 not really a zip"
     assert sniff_format(junk, None) in ("unsupported", "markdown")
-    fmt, blocks, status, err = parse_document(
-        build_docx(DOC_ITEMS)[:80], None)  # truncated archive
-    assert status in ("ok", "error")  # never raises
+    # truncated archive that still carries the part name in its bytes:
+    # sniffs as docx, extraction fails, row stays fail-soft
+    truncated = build_docx(DOC_ITEMS)[:200]
+    if b"word/document.xml" not in truncated:
+        truncated = truncated + b"word/document.xml"
+    assert sniff_format(truncated, None) == "docx"
+    fmt, blocks, status, err = parse_document(truncated, None)
+    assert (fmt, status, blocks) == ("docx", "error", [])
+    assert err
+
+
+def test_docx_zip_bomb_capped(monkeypatch):
+    import docling_rag_spark.operators.extract_docx as D
+    monkeypatch.setattr(D, "MAX_DOCUMENT_XML_BYTES", 64)
+    payload = build_docx(DOC_ITEMS)  # document.xml is well over 64 bytes
+    fmt, blocks, status, err = parse_document(payload, None)
+    assert (fmt, status) == ("docx", "error")
+    assert "refusing decompression" in err

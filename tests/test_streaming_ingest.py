@@ -28,21 +28,21 @@ def test_stream_incremental_matches_batch(spark, tmp_path):
     _write_slice(first, os.path.join(pages_dir, "part-0.parquet"))
 
     q = stream_extract_chunks(spark, pages_dir, out_dir, ckpt)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), 'stream did not drain'
     n1 = spark.read.parquet(out_dir).count()
     assert n1 > 0
 
     # drop a new file; rerun drains ONLY the new file (checkpointed)
     _write_slice(second, os.path.join(pages_dir, "part-1.parquet"))
     q = stream_extract_chunks(spark, pages_dir, out_dir, ckpt)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), 'stream did not drain'
     streamed = spark.read.parquet(out_dir)
     n2 = streamed.count()
     assert n2 > n1
 
     # third run with nothing new: no duplicates appended
     q = stream_extract_chunks(spark, pages_dir, out_dir, ckpt)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), 'stream did not drain'
     assert spark.read.parquet(out_dir).count() == n2
 
     # parity with the batch stage on the same input

@@ -35,7 +35,7 @@ def _run(spark, events_dir, out_dir, ckpt, idle_flush_ms):
          .writeStream.format("parquet")
          .option("path", out_dir).option("checkpointLocation", ckpt)
          .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), 'stream did not drain'
 
 
 def test_gap_close_within_and_across_batches(spark, tmp_path):

@@ -35,7 +35,7 @@ def _run(spark, events_dir, out_dir, ckpt):
          .writeStream.format("parquet")
          .option("path", out_dir).option("checkpointLocation", ckpt)
          .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), 'stream did not drain'
 
 
 def test_windows_finalize_and_drop_late(spark, tmp_path):
