@@ -64,10 +64,25 @@ def _decode_one(payload: bytes) -> dict:
     kind = payload[:4]
     if kind == FAKE_IMG:
         w, h = struct.unpack_from("<II", payload, 4)
+        # header fields are attacker-controlled u32s: bound them against the
+        # actual payload size BEFORE allocating (decompression-bomb tier, same
+        # contract as the DOCX MAX_DOCUMENT_XML_BYTES cap)
+        if w == 0 or h == 0:
+            raise ValueError("image with zero width/height")
+        if 12 + w * h > len(payload):
+            raise ValueError(
+                f"image header claims {w}x{h} pixels but payload has only "
+                f"{len(payload) - 12} data bytes")
         pix = np.frombuffer(payload, np.uint8, count=w * h, offset=12)
         return {"media_type": "image", "width": w, "height": h, "pix": pix}
     if kind == FAKE_VID:
         n, flen = struct.unpack_from("<II", payload, 4)
+        if flen == 0:
+            raise ValueError("video with zero frame length")
+        if 12 + n * flen > len(payload):
+            raise ValueError(
+                f"video header claims {n} frames x {flen} bytes but payload "
+                f"has only {len(payload) - 12} data bytes")
         frames = [payload[12 + i * flen: 12 + (i + 1) * flen]
                   for i in range(n)]
         return {"media_type": "video", "n_frames": n, "frames": frames}

@@ -58,14 +58,34 @@ def normalize_updates(updates: DataFrame) -> DataFrame:
     return out
 
 
+def collapse_updates(updates: DataFrame) -> DataFrame:
+    """One row per url before the MERGE join. A real Iceberg MERGE errors
+    when multiple source rows match one target row; silently joining a
+    duplicated batch would emit duplicate url rows into the snapshot. We
+    collapse deterministically instead of erroring so replayed/overlapping
+    batches stay idempotent: winner = greatest row under a total order on
+    the serialized row (stable regardless of partitioning), which makes the
+    collapse commutative across batch orderings of identical rows."""
+    from pyspark.sql import Window
+
+    others = [c for c in updates.columns if c != "url"]
+    if not others:
+        return updates.dropDuplicates(["url"])
+    w = (Window.partitionBy("url")
+         .orderBy(F.to_json(F.struct(*others)).desc_nulls_last()))
+    return (updates.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+
+
 def upsert_documents(existing: DataFrame, updates: DataFrame) -> DataFrame:
     """Merged registry snapshot (the MERGE in the module docstring).
 
     Column rules per db_registry.py:31-45: scalars keep the old value when
     the (normalized) new one is NULL; tags are replaced only by a non-empty
     list; added_at of existing rows is preserved, new rows take theirs.
+    Updates are collapsed to one row per url first (see collapse_updates).
     """
-    s = normalize_updates(updates).alias("s")
+    s = collapse_updates(normalize_updates(updates)).alias("s")
     t = existing.alias("t")
     joined = t.join(s, F.col("t.url") == F.col("s.url"), "full_outer")
     url = F.coalesce(F.col("t.url"), F.col("s.url"))

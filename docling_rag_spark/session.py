@@ -13,6 +13,24 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """Portable default: half of physical RAM, clamped to [2g, 48g].
+
+    Local mode runs everything in the driver JVM, so it wants real memory on
+    big boxes — but a hard-coded bench-box value (48g) fails JVM startup on
+    smaller machines. Bench scripts that know their hardware should set
+    SPARK_DRIVER_MEMORY explicitly."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    total_gb = int(line.split()[1]) // (1024 * 1024)
+                    return f"{max(2, min(48, total_gb // 2))}g"
+    except OSError:
+        pass
+    return "4g"
+
+
 def get_spark(app_name: str = "docling-rag-spark",
               cores: int | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
@@ -34,7 +52,8 @@ def get_spark(app_name: str = "docling-rag-spark",
         # are small on disk but expensive per row (parse CPU), so scan tasks
         # must outnumber cores even at bench scale
         .config("spark.sql.files.maxPartitionBytes", "32m")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_DRIVER_MEMORY", _default_driver_mem()))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
     )

@@ -81,3 +81,27 @@ def test_resize_images_nearest(spark, media):
     xs = (np.arange(4) * 8) // 4
     assert np.array_equal(out_pix, src_pix[np.ix_(ys, xs)])
     assert rows["m://vid1"]["status"].startswith("error")
+
+
+def test_hostile_headers_fail_soft(spark):
+    """Attacker-controlled header fields must be bounds-checked before any
+    allocation: a 12-byte FVID claiming 4e9 frames, a zero-dim FIMG, and an
+    FIMG claiming more pixels than the payload carries all become
+    status='error' rows — never an executor OOM or task failure."""
+    bomb_vid = FAKE_IMG[:0] + b"FVID" + struct.pack("<II", 0xFFFFFFFF, 1)
+    zero_flen = b"FVID" + struct.pack("<II", 5, 0) + b"xxxxx"
+    zero_img = FAKE_IMG + struct.pack("<II", 0, 7)
+    lying_img = FAKE_IMG + struct.pack("<II", 1000, 1000) + b"\x00" * 16
+    rows = [("m://bomb", bomb_vid), ("m://zflen", zero_flen),
+            ("m://zimg", zero_img), ("m://lying", lying_img),
+            ("m://ok", build_fake_image(4, 4, seed=9))]
+    df = spark.createDataFrame(rows, "url string, payload binary")
+    got = {r["url"]: r for r in describe_media(df).collect()}
+    for u in ("m://bomb", "m://zflen", "m://zimg", "m://lying"):
+        assert got[u]["status"] == "error", u
+    assert got["m://ok"]["status"] == "ok"
+    # frame sampling and resizing just drop / error-row the hostile rows
+    assert [r["url"] for r in sample_frames(df).collect()] == []
+    rs = {r["url"]: r["status"] for r in resize_images(df, 2, 2).collect()}
+    assert rs["m://ok"] == "ok"
+    assert all(s.startswith("error") for u, s in rs.items() if u != "m://ok")

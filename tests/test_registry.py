@@ -62,3 +62,55 @@ def test_upsert_idempotent(spark):
     once = upsert_documents(existing, updates)
     twice = upsert_documents(once, updates)
     assert sorted(once.collect()) == sorted(twice.collect())
+
+
+def test_upsert_duplicate_urls_in_batch_collapse(spark):
+    """A batch containing the same url twice must not yield duplicate url
+    rows (a real Iceberg MERGE errors on multiple source matches; we
+    collapse deterministically instead)."""
+    existing = _df(spark, [("u://a", "Old", "Ann", None, ["db"], "en", 3, T0)])
+    updates = _df(spark, [
+        ("u://a", "New A", None, None, [], "en", 4, T1),
+        ("u://a", None, "Bob", "db", [], "en", 5, T1),
+        ("u://a", "New A", None, None, [], "en", 4, T1),  # exact dup too
+    ])
+    out = upsert_documents(existing, updates).collect()
+    assert len(out) == 1
+    # and the collapse is deterministic: same batch shuffled → same winner
+    shuffled = _df(spark, [
+        ("u://a", None, "Bob", "db", [], "en", 5, T1),
+        ("u://a", "New A", None, None, [], "en", 4, T1),
+        ("u://a", "New A", None, None, [], "en", 4, T1),
+    ])
+    out2 = upsert_documents(existing, shuffled).collect()
+    assert out == out2
+
+
+def test_upsert_coalesce_matrix(spark):
+    """Full COALESCE matrix (reference db_registry.py:22-45): every
+    (existing, update) null/set combination for scalars, empty/non-empty
+    for tags, replayed twice to prove idempotence under conflicting nulls."""
+    existing = _df(spark, [
+        # url, title(set), author(null), topic(set), tags(set), ...
+        ("u://m1", "T1", None, "top1", ["a"], "en", 1, T0),
+        ("u://m2", None, "A2", None, [], "en", 2, T0),
+    ])
+    updates = _df(spark, [
+        # m1: update null title (keep), set author (fill), null topic (keep),
+        #     empty tags (keep)
+        ("u://m1", None, "NewA", None, [], "ru", 9, T1),
+        # m2: set title (fill), null author (keep), set topic, non-empty tags
+        ("u://m2", "NewT", None, "top2", ["z"], None, None, T1),
+    ])
+    once = upsert_documents(existing, updates)
+    got = {r["url"]: r for r in once.collect()}
+    m1, m2 = got["u://m1"], got["u://m2"]
+    assert (m1["title"], m1["author"], m1["topic"], m1["tags"]) == \
+        ("T1", "NewA", "top1", ["a"])
+    assert (m2["title"], m2["author"], m2["topic"], m2["tags"]) == \
+        ("NewT", "A2", "top2", ["z"])
+    assert m1["added_at"] == T0 and m2["added_at"] == T0
+    # replay the same batch against the merged snapshot: fixed point
+    twice = upsert_documents(once, updates)
+    assert sorted(map(tuple, once.collect())) == \
+        sorted(map(tuple, twice.collect()))
