@@ -38,6 +38,8 @@ BENCH_QUERIES = [
     "dedup_minhash_sig",
     "dedup_minhash_pairs",
     "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
     "text_quality",
     "text_lang_id",
     "text_fingerprint",

@@ -13,10 +13,22 @@ Scale design (100 TB):
   high-cardinality and uniform, so no skew. Candidate pairs (not full
   pairwise) are the only quadratic term and banding bounds them.
 - simhash: map-only fingerprint per doc + one shuffle on doc_id; the pair
-  scan here is brute-force O(N²/2) for the oracle — at scale you'd block by
-  fingerprint prefix (same banding idea) first.
+  scan blocks by pigeonhole banding — split the 48-bit fingerprint into
+  hamming_max+1 = 7 segments; any pair within hamming 6 agrees on ≥1 whole
+  segment, so an equi-join on (band, band_val) + exact hamming filter +
+  distinct is EXACTLY the brute-force result, at ~N·7/2^7 rows per bucket
+  instead of N²/2 comparisons. The DuckDB oracle deliberately stays
+  brute-force: it independently proves the blocked plan loses no pair.
+  A per-bucket cap (default 1000, off at test SFs) bounds pathological
+  band values at 10^12-doc scale; drops are observable via
+  ``dedup_simhash_band_stats``.
 - jaccard: candidate generation via shared-shingle equi-join (no cross
   join); per-pair intersection counts come out of the join's groupBy.
+  Shingles with document frequency > 64 are dropped from BOTH the
+  intersection and the size terms (jaccard over discriminative shingles):
+  one stop-shingle in k docs would otherwise make a k² join blowup. The
+  oracle SQL applies the identical cap; ``dedup_shingle_df_stats`` exposes
+  how much was dropped (the production job logs that row).
 """
 
 from __future__ import annotations
@@ -94,18 +106,53 @@ FROM documents GROUP BY 1
 # --- n-gram Jaccard ----------------------------------------------------------
 
 _JACCARD_MIN_BP = 500  # 0.05 in basis points (floor-scaled, engine-stable)
+_JACCARD_DF_CAP = 64   # shingles in > CAP docs are non-discriminative: drop
+
+
+# capped-shingle CTE body (portable: IN-subquery, not SEMI JOIN syntax).
+# Shingles travel as 60-bit md5-prefix ints on both engines, so the join /
+# grouping keys are 8 bytes and any hash collision reproduces identically.
+_CAPPED_SH_CTES = f"""
+sh0 AS (
+  SELECT doc_id, {_HEX60_SQL.format(x='sh')} AS sh FROM (
+    SELECT doc_id::BIGINT AS doc_id, unnest({_SHINGLES_SQL}) AS sh
+    FROM documents)
+), sh AS (
+  SELECT doc_id, sh FROM sh0
+  WHERE sh IN (SELECT sh FROM sh0 GROUP BY sh
+               HAVING count(*) <= {_JACCARD_DF_CAP})
+)"""
 
 
 def dedup_ngram_jaccard(spark, sf_dir):
+    """Inverted-index jaccard: ONE pass computes shingles (the expensive
+    regexp explode), ONE shuffle groups them into per-shingle posting
+    lists; the DF cap is just ``size(list) <= CAP`` on the aggregate, and
+    candidate pairs are generated map-side from each posting list (≤
+    CAP·(CAP-1)/2 per shingle, a hard bound). A naive shingle self-join
+    recomputes the explode per join side and shuffles every shingle row
+    twice — this shape does neither."""
     docs = _t(spark, sf_dir, "documents")
     sh = (docs.select(F.col("doc_id").cast("bigint").alias("doc_id"),
-                      F.explode(_shingles(F.col("text"))).alias("sh")))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    shared = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
-                     & (F.col("a.doc_id") < F.col("b.doc_id")))
-              .groupBy(F.col("a.doc_id").alias("doc_a"),
-                       F.col("b.doc_id").alias("doc_b"))
+                      F.explode(_shingles(F.col("text"))).alias("sh"))
+          .select("doc_id", _hex60(F.col("sh")).alias("sh")))
+    posting = (sh.groupBy("sh")
+               .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+               .filter(F.size("ds") <= _JACCARD_DF_CAP))
+    # per-doc capped shingle counts, derived from the (small) posting table
+    sizes = (posting.select(F.explode("ds").alias("doc_id"))
+             .groupBy("doc_id")
+             .agg(F.count("*").cast("bigint").alias("n_sh")))
+    pair_lists = posting.filter(F.size("ds") >= 2).select(
+        F.explode(F.flatten(F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + F.lit(2),
+                        F.greatest(F.size(F.col("ds")) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b"))))))
+        .alias("p"))
+    shared = (pair_lists.groupBy(F.col("p.doc_a").alias("doc_a"),
+                                 F.col("p.doc_b").alias("doc_b"))
               .agg(F.count("*").cast("bigint").alias("shared")))
     sa = sizes.select(F.col("doc_id").alias("doc_a"),
                       F.col("n_sh").alias("n_a"))
@@ -121,10 +168,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 DEDUP_JACCARD_SQL = f"""
-WITH sh AS (
-  SELECT doc_id::BIGINT AS doc_id, unnest({_SHINGLES_SQL}) AS sh
-  FROM documents
-), sizes AS (
+WITH {_CAPPED_SH_CTES}, sizes AS (
   SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id
 ), shared AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS shared
@@ -138,6 +182,40 @@ FROM shared
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE floor(shared * 10000.0 / (sa.n_sh + sb.n_sh - shared)) >= {_JACCARD_MIN_BP}
+"""
+
+
+def dedup_shingle_df_stats(spark, sf_dir):
+    """The 'logged drop count' for the DF cap: how many distinct shingles /
+    exploded rows the cap removed. The production job materializes this one
+    row next to the pair output so recall loss is observable, not silent."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                     F.explode(_shingles(F.col("text"))).alias("sh"))
+    df = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    return df.agg(
+        F.count("*").cast("bigint").alias("n_shingles"),
+        F.sum((F.col("df") > _JACCARD_DF_CAP).cast("bigint"))
+         .cast("bigint").alias("n_shingles_dropped"),
+        F.sum(F.when(F.col("df") > _JACCARD_DF_CAP, F.col("df"))
+               .otherwise(F.lit(0))).cast("bigint").alias("n_rows_dropped"),
+        F.max("df").cast("bigint").alias("max_df"))
+
+
+SHINGLE_DF_STATS_SQL = f"""
+WITH sh AS (
+  SELECT doc_id::BIGINT AS doc_id, unnest({_SHINGLES_SQL}) AS sh
+  FROM documents
+), df AS (
+  SELECT sh, count(*)::BIGINT AS df FROM sh GROUP BY sh
+)
+SELECT count(*)::BIGINT AS n_shingles,
+       sum(CASE WHEN df > {_JACCARD_DF_CAP} THEN 1 ELSE 0 END)::BIGINT
+         AS n_shingles_dropped,
+       sum(CASE WHEN df > {_JACCARD_DF_CAP} THEN df ELSE 0 END)::BIGINT
+         AS n_rows_dropped,
+       max(df)::BIGINT AS max_df
+FROM df
 """
 
 
@@ -275,20 +353,56 @@ FROM bits GROUP BY doc_id
 
 
 _SIMHASH_MAX_HAMMING = 6
+_SIMHASH_N_BANDS = _SIMHASH_MAX_HAMMING + 1   # pigeonhole: ≥1 clean band
+_SIMHASH_BAND_CAP = 1000  # max docs per (band, band_val) bucket at scale
+
+
+def _simhash_bands(fp):
+    """Explode each fingerprint into its 7 pigeonhole segments
+    (6 bands × 7 bits + 1 band × 6 bits = 48). Any pair within hamming 6
+    shares at least one unchanged segment, so the (band, band_val)
+    equi-join has perfect recall over the hamming ball."""
+    width = (_SIMHASH_BITS + _SIMHASH_N_BANDS - 1) // _SIMHASH_N_BANDS
+    segs = []
+    for b in range(_SIMHASH_N_BANDS):
+        lo = b * width
+        bits = min(width, _SIMHASH_BITS - lo)
+        segs.append(F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), lo)
+             .bitwiseAND(F.lit((1 << bits) - 1)).alias("band_val")))
+    return (fp.select("doc_id", "simhash",
+                      F.explode(F.array(*segs)).alias("seg"))
+            .select("doc_id", "simhash",
+                    F.col("seg.band").alias("band"),
+                    F.col("seg.band_val").alias("band_val")))
 
 
 def dedup_simhash_pairs(spark, sf_dir):
+    """Banded (pigeonhole-blocked) hamming join — EXACTLY the brute-force
+    pair set (the oracle SQL below stays brute-force on purpose: DuckDB
+    independently proves the blocking loses no pair). The bucket cap never
+    fires at test SFs (buckets are ~N/2^7); at 10^12 docs it bounds the
+    per-bucket quadratic term for degenerate band values, with the drop
+    observable via dedup_simhash_band_stats."""
     fp = dedup_simhash(spark, sf_dir)
-    a = fp.select(F.col("doc_id").alias("doc_a"),
-                  F.col("simhash").alias("fp_a"))
-    b = fp.select(F.col("doc_id").alias("doc_b"),
-                  F.col("simhash").alias("fp_b"))
-    return (a.join(b, F.col("doc_a") < F.col("doc_b"))
-            .withColumn("hamming",
-                        F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
-                        .cast("bigint"))
+    bands = _simhash_bands(fp)
+    sizes = (bands.groupBy("band", "band_val")
+             .agg(F.count("*").alias("n"))
+             .filter(F.col("n") <= _SIMHASH_BAND_CAP)
+             .select("band", "band_val"))
+    bands = bands.join(F.broadcast(sizes), ["band", "band_val"], "left_semi")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.band_val") == F.col("b.band_val"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    F.bit_count(F.col("a.simhash")
+                                .bitwiseXOR(F.col("b.simhash")))
+                    .cast("bigint").alias("hamming"))
             .filter(F.col("hamming") <= _SIMHASH_MAX_HAMMING)
-            .select("doc_a", "doc_b", "hamming"))
+            .distinct())
 
 
 SIMHASH_PAIRS_SQL = f"""
@@ -297,6 +411,46 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
 FROM fp a JOIN fp b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_MAX_HAMMING}
+"""
+
+
+def dedup_simhash_band_stats(spark, sf_dir):
+    """Bucket-size distribution of the pigeonhole blocking: candidate-pair
+    work is sum(n·(n-1)/2) over buckets — this row is the scale evidence
+    that the banded join's quadratic term stays bounded."""
+    fp = dedup_simhash(spark, sf_dir)
+    sizes = _simhash_bands(fp).groupBy("band", "band_val") \
+        .agg(F.count("*").alias("n"))
+    return sizes.agg(
+        F.count("*").cast("bigint").alias("n_buckets"),
+        F.max("n").cast("bigint").alias("max_bucket"),
+        F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("bigint")
+         .alias("candidate_pairs"),
+        F.sum((F.col("n") > _SIMHASH_BAND_CAP).cast("bigint"))
+         .cast("bigint").alias("n_buckets_capped"))
+
+
+_SIMHASH_BAND_W = (_SIMHASH_BITS + _SIMHASH_N_BANDS - 1) // _SIMHASH_N_BANDS
+
+SIMHASH_BAND_STATS_SQL = f"""
+WITH fp AS ({SIMHASH_SQL}),
+bands AS (
+  SELECT doc_id, b.band,
+         (simhash >> (b.band * {_SIMHASH_BAND_W}))
+           & ((1::BIGINT << least({_SIMHASH_BAND_W},
+                {_SIMHASH_BITS} - b.band * {_SIMHASH_BAND_W})) - 1)
+           AS band_val
+  FROM fp CROSS JOIN (SELECT i::INT AS band
+                      FROM range({_SIMHASH_N_BANDS}) t(i)) b
+), sizes AS (
+  SELECT band, band_val, count(*)::BIGINT AS n FROM bands GROUP BY 1, 2
+)
+SELECT count(*)::BIGINT AS n_buckets,
+       max(n)::BIGINT AS max_bucket,
+       CAST(sum(n * (n - 1) / 2.0) AS BIGINT) AS candidate_pairs,
+       sum(CASE WHEN n > {_SIMHASH_BAND_CAP} THEN 1 ELSE 0 END)::BIGINT
+         AS n_buckets_capped
+FROM sizes
 """
 
 
@@ -332,6 +486,9 @@ QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_keep_first": (dedup_keep_first, DEDUP_KEEP_FIRST_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
+    "dedup_shingle_df_stats": (dedup_shingle_df_stats, SHINGLE_DF_STATS_SQL),
+    "dedup_simhash_band_stats": (dedup_simhash_band_stats,
+                                 SIMHASH_BAND_STATS_SQL),
     "dedup_minhash_sig": (dedup_minhash_sig, MINHASH_SIG_SQL),
     "dedup_minhash_pairs": (dedup_minhash_pairs, MINHASH_PAIRS_SQL),
     "dedup_simhash": (dedup_simhash, SIMHASH_SQL),
