@@ -28,6 +28,9 @@ from docling_rag_spark.config import (
 from docling_rag_spark.operators.blocks import Block
 
 _WS_RE = re.compile(r"\s+")
+# C0/C1 control characters (crawler pages embed NULs and stray controls);
+# \t\n\r are whitespace and already collapsed by _WS_RE before this runs
+_CTRL_RE = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]")
 _VOID_TAGS = frozenset({
     "br", "hr", "img", "meta", "link", "input", "area", "base", "col",
     "embed", "source", "track", "wbr",
@@ -51,6 +54,13 @@ class _Node:
         self.children: list[object] = []  # _Node | str
 
 
+# Hostile-markup guard: beyond this depth, new elements are flattened into
+# their parent instead of nested. Keeps the later recursive walk well under
+# Python's recursion limit on crawler-bait like 50k nested <div>s, while
+# leaving any real document (depth < 100 in practice) untouched.
+MAX_TREE_DEPTH = 256
+
+
 class _TreeBuilder(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
@@ -60,7 +70,7 @@ class _TreeBuilder(HTMLParser):
     def handle_starttag(self, tag, attrs):
         node = _Node(tag, {k: (v or "") for k, v in attrs})
         self._stack[-1].children.append(node)
-        if tag not in _VOID_TAGS:
+        if tag not in _VOID_TAGS and len(self._stack) < MAX_TREE_DEPTH:
             self._stack.append(node)
 
     def handle_startendtag(self, tag, attrs):
@@ -103,13 +113,15 @@ def _inline_text(node: _Node, in_link: bool = False) -> tuple[str, int]:
                 out.append(" ")
                 continue
             t, lc = _inline_text(ch, in_link or ch.tag == "a")
-            out.append(t)
+            # block-level descendants (nested tables/divs inside a cell)
+            # get word boundaries; inline tags concatenate seamlessly
+            out.append(t if ch.tag in _INLINE_TAGS else f" {t} ")
             link_chars += lc
     return "".join(out), link_chars
 
 
 def _clean(text: str) -> str:
-    return _WS_RE.sub(" ", text).strip()
+    return _CTRL_RE.sub("", _WS_RE.sub(" ", text)).strip()
 
 
 def _keep_text(text: str, link_chars: int) -> bool:

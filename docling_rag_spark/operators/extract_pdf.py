@@ -15,11 +15,24 @@ Detection semantics mirror the reference exactly:
 
 The reader is a tolerant scanner over the PDF object graph: it resolves the
 page tree (/Root -> /Pages -> /Kids, recursively), pulls each page's
-/Contents streams (FlateDecode supported via zlib), and decodes the text
-operators Tj / TJ / ' / " including escape sequences and octal escapes. This
-covers real digital-text PDFs with unencrypted, Flate-or-plain content
-streams — the fixture shapes of the reference test-suite
-(tests/pdf_fixtures.py) and typical Common-Crawl digital PDFs.
+/Contents streams, and decodes the text operators Tj / TJ / ' / "
+including escape sequences, octal escapes, hex strings, and UTF-16BE
+(BOM-prefixed) strings. Real-crawl depth beyond the fixture class:
+
+  * **object streams** (/Type /ObjStm): PDF 1.5+ files store most
+    indirect objects Flate-compressed inside object streams (the
+    xref-stream era that dominates Common Crawl) — these are expanded
+    into the object table before page-tree resolution;
+  * **PNG predictors** (/DecodeParms /Predictor >= 10): un-filtered
+    (None/Sub/Up/Average/Paeth) after inflate;
+  * **capped inflate**: every stream decompression is bounded (the same
+    decompression-bomb tier as the DOCX XML cap) so a 1 KB bomb cannot
+    take out an executor;
+  * multi-object /Contents arrays, concatenated in array order.
+
+Out of scope (documented, fail-soft): encrypted PDFs, CID/Type0 fonts
+with /ToUnicode CMaps (hex strings decode as UTF-16BE-or-latin-1), and
+rasterized scans (the OCR branch the reference gates behind a model).
 """
 
 from __future__ import annotations
@@ -37,15 +50,127 @@ from docling_rag_spark.operators.blocks import Block
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.DOTALL)
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
-_TEXT_SHOW_RE = re.compile(rb"\((?:\\.|[^()\\])*\)\s*(?:Tj|')|\[(?:[^\]]*)\]\s*TJ", re.DOTALL)
-_STRING_RE = re.compile(rb"\((?:\\.|[^()\\])*\)", re.DOTALL)
+_LIT_STR = rb"\((?:\\.|[^()\\])*\)"
+_HEX_STR = rb"<[0-9A-Fa-f\s]*>"
+_TEXT_SHOW_RE = re.compile(
+    rb"(?:%s|%s)\s*(?:Tj|'|\")|\[(?:[^\]]*)\]\s*TJ" % (_LIT_STR, _HEX_STR),
+    re.DOTALL)
+_STRING_RE = re.compile(rb"%s|%s" % (_LIT_STR, _HEX_STR), re.DOTALL)
 _ESCAPE_RE = re.compile(rb"\\([0-7]{1,3}|.)", re.DOTALL)
 _ESCAPE_MAP = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b",
-               b"f": b"\f", b"(": b"(", b")": b")", b"\\": b"\\"}
+               b"f": b"\f", b"(": b"(", b")": b")", b"\\": b"\\",
+               # escaped line break = line continuation (no character)
+               b"\n": b"", b"\r": b""}
+
+# decompression-bomb cap per stream (64 MiB of inflated bytes)
+MAX_STREAM_BYTES = 64 * 1024 * 1024
 
 
 class PdfError(Exception):
     pass
+
+
+def _inflate(raw: bytes, cap: int = MAX_STREAM_BYTES) -> bytes:
+    """zlib inflate with a hard output cap (bomb-safe)."""
+    d = zlib.decompressobj()
+    out = d.decompress(raw, cap)
+    if d.unconsumed_tail:
+        raise PdfError(f"stream inflates past {cap} byte cap")
+    return out
+
+
+def _unpredict(data: bytes, dict_part: bytes) -> bytes:
+    """Reverse PNG row predictors (/DecodeParms /Predictor >= 10)."""
+    pm = re.search(rb"/Predictor\s+(\d+)", dict_part)
+    if not pm or int(pm.group(1)) < 10:
+        return data
+    cm = re.search(rb"/Columns\s+(\d+)", dict_part)
+    cols = int(cm.group(1)) if cm else 1
+    colors = int((re.search(rb"/Colors\s+(\d+)", dict_part) or [None, b"1"])[1])
+    bpc = int((re.search(rb"/BitsPerComponent\s+(\d+)", dict_part)
+               or [None, b"8"])[1])
+    bpp = max(1, (colors * bpc) // 8)
+    rowlen = (cols * colors * bpc + 7) // 8
+    out = bytearray()
+    prev = bytearray(rowlen)
+    pos = 0
+    while pos + 1 + rowlen <= len(data):
+        ft = data[pos]
+        row = bytearray(data[pos + 1: pos + 1 + rowlen])
+        if ft == 1:      # Sub
+            for i in range(bpp, rowlen):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ft == 2:    # Up
+            for i in range(rowlen):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:    # Average
+            for i in range(rowlen):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:    # Paeth
+            for i in range(rowlen):
+                a = row[i - bpp] if i >= bpp else 0
+                b, c = prev[i], prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        # ft == 0 (None) and unknown types: row used as-is
+        out += row
+        prev = row
+        pos += 1 + rowlen
+    return bytes(out)
+
+
+def _stream_data(body: bytes) -> bytes | None:
+    """Decoded stream payload of an object body (None if no stream)."""
+    sm = _STREAM_RE.search(body)
+    if not sm:
+        return None
+    raw = sm.group(1)
+    d = _dict_part(body)
+    if b"/FlateDecode" in d:
+        raw = _unpredict(_inflate(raw), d)
+    return raw
+
+
+_OBJSTM_RE = re.compile(rb"/Type\s*/ObjStm\b")
+
+
+def _expand_object_streams(objs: dict[int, bytes]) -> None:
+    """PDF 1.5+ object streams: most indirect objects of a real-crawl PDF
+    live Flate-compressed inside /Type /ObjStm streams (companion of the
+    compressed xref stream). Header = /N pairs of "objnum offset", objects
+    start at /First. Directly-scanned objects win on number collision (a
+    live direct object shadows a stale compressed one; full xref replay is
+    deliberately out of scope for a tolerant scanner)."""
+    for body in list(objs.values()):
+        d = _dict_part(body)
+        if not _OBJSTM_RE.search(d):
+            continue
+        nm = re.search(rb"/N\s+(\d+)", d)
+        fm = re.search(rb"/First\s+(\d+)", d)
+        if not nm or not fm:
+            continue
+        try:
+            data = _stream_data(body)
+        except PdfError:
+            continue
+        if data is None:
+            continue
+        n, first = int(nm.group(1)), int(fm.group(1))
+        header = data[:first].split()
+        if len(header) < 2 * n:
+            continue
+        entries = []
+        try:
+            for i in range(n):
+                entries.append((int(header[2 * i]), int(header[2 * i + 1])))
+        except ValueError:
+            continue
+        for i, (num, off) in enumerate(entries):
+            end = entries[i + 1][1] if i + 1 < len(entries) else len(data) - first
+            objs.setdefault(num, data[first + off: first + end])
 
 
 def _parse_objects(data: bytes) -> dict[int, bytes]:
@@ -54,6 +179,7 @@ def _parse_objects(data: bytes) -> dict[int, bytes]:
         objs[int(m.group(1))] = m.group(3)
     if not objs:
         raise PdfError("no objects")
+    _expand_object_streams(objs)
     return objs
 
 
@@ -110,20 +236,33 @@ def _content_bytes(objs: dict[int, bytes], page_body: bytes) -> bytes:
     out = b""
     for ref in refs:
         body = objs.get(ref, b"")
-        sm = _STREAM_RE.search(body)
-        if not sm:
+        try:
+            raw = _stream_data(body)
+        except (PdfError, zlib.error):
             continue
-        raw = sm.group(1)
-        if b"/FlateDecode" in _dict_part(body):
-            try:
-                raw = zlib.decompress(raw)
-            except zlib.error:
-                continue
+        if raw is None:
+            continue
         out += raw + b"\n"
     return out
 
 
+def _bytes_to_text(raw: bytes) -> str:
+    """UTF-16BE when BOM-prefixed (how real PDFs carry non-Latin text in
+    literal strings), latin-1 otherwise (PDFDocEncoding approximation)."""
+    if raw.startswith(b"\xfe\xff"):
+        return raw[2:].decode("utf-16-be", errors="replace")
+    return raw.decode("latin-1")
+
+
 def _decode_string(s: bytes) -> str:
+    if s[:1] == b"<":  # hex string: <FEFF0414...> or <48656c6c6f>
+        hexdigits = re.sub(rb"\s+", b"", s[1:-1])
+        if len(hexdigits) % 2:
+            hexdigits += b"0"  # odd count: spec-mandated trailing zero
+        try:
+            return _bytes_to_text(bytes.fromhex(hexdigits.decode("ascii")))
+        except ValueError:
+            return ""
     inner = s[1:-1]
 
     def sub(m: re.Match) -> bytes:
@@ -132,7 +271,7 @@ def _decode_string(s: bytes) -> str:
             return bytes([int(g, 8) & 0xFF])
         return _ESCAPE_MAP.get(g, g)
 
-    return _ESCAPE_RE.sub(sub, inner).decode("latin-1")
+    return _bytes_to_text(_ESCAPE_RE.sub(sub, inner))
 
 
 def _page_text(content: bytes) -> str:

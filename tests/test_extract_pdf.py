@@ -66,3 +66,61 @@ def test_extract_blocks_pages_and_provenance():
         (1, "first page body"),
         (3, "third page body"),
     ]
+
+
+# --- real-crawl depth: object streams, predictors, unicode, bombs -----------
+
+from docling_rag_spark.sources.fixtures import (  # noqa: E402
+    build_bomb_pdf,
+    build_objstm_pdf,
+    build_unicode_pdf,
+)
+
+
+def test_objstm_pages_resolved():
+    """PDF 1.5-era layout: page tree lives inside a compressed /ObjStm."""
+    pdf = build_objstm_pdf(["first page body", "second page body"])
+    assert read_pdf_pages(pdf) == ["first page body", "second page body"]
+    assert detect_text_layer(build_objstm_pdf([LONG] * 3)) == (True, 3, 3)
+
+
+def test_objstm_png_predictor():
+    pdf = build_objstm_pdf(["predicted stream page"], predictor=True)
+    assert read_pdf_pages(pdf) == ["predicted stream page"]
+
+
+def test_utf16_hex_strings():
+    """Non-Latin text as <FEFF…> hex shows (Russian/Cyrillic crawl pages)."""
+    ru = "Архитектура базы данных и хранилище"
+    pdf = build_unicode_pdf([ru, "plain ascii line"])
+    assert read_pdf_pages(pdf) == [ru, "plain ascii line"]
+
+
+def test_utf16_literal_string_with_bom():
+    from docling_rag_spark.operators.extract_pdf import _decode_string
+    raw = b"(" + b"\xfe\xff" + "Привет".encode("utf-16-be") + b")"
+    assert _decode_string(raw) == "Привет"
+    # hex with odd digit count gets the spec-mandated trailing zero
+    assert _decode_string(b"<48656C6C6F2>") == "Hello "
+
+
+def test_inflate_bomb_capped_fail_soft():
+    pdf = build_bomb_pdf()
+    # page is unreadable -> empty text, never an 80 MiB allocation escape
+    assert read_pdf_pages(pdf) == [""]
+    assert detect_text_layer(pdf) == (False, 0, 1)
+
+
+def test_truncated_stream_fail_soft():
+    pdf = build_objstm_pdf(["page body"])
+    # chop the file mid-stream: tolerant scanner still fails soft
+    broken = pdf[: len(pdf) // 2]
+    assert detect_text_layer(broken)[0] is False
+
+
+def test_quote_operator_and_line_continuation():
+    from docling_rag_spark.operators.extract_pdf import _page_text
+    content = b'BT 2 1 (shown via quote) " ET'
+    assert _page_text(content) == "shown via quote"
+    content2 = b"BT (split \\\nline) Tj ET"
+    assert _page_text(content2) == "split line"
