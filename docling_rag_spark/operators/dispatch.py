@@ -16,7 +16,10 @@ from docling_rag_spark.operators.blocks import Block
 from docling_rag_spark.operators.extract_docx import extract_docx, is_docx
 from docling_rag_spark.operators.extract_html import extract_html
 from docling_rag_spark.operators.extract_markdown import extract_markdown
-from docling_rag_spark.operators.extract_pdf import extract_pdf
+from docling_rag_spark.operators.extract_pdf import (
+    blocks_from_pages,
+    classify_pdf,
+)
 
 _HTML_SNIFF_RE = re.compile(
     rb"^\s*(?:<!doctype\s+html|<html\b|<head\b|<body\b)", re.IGNORECASE
@@ -50,7 +53,22 @@ def parse_document(html: bytes | None, text: str | None
     fmt = sniff_format(html, text)
     try:
         if fmt == "pdf":
-            blocks = extract_pdf(html)  # type: ignore[arg-type]
+            # S3 text-layer gate (reference core/parser.py:16-53, ocr="auto"):
+            # digital PDFs take the parsed path; scan-class PDFs degrade to
+            # the crawl-supplied WET text when present (low-confidence
+            # extraction, status='degraded'), else to whatever sparse text
+            # the parser recovered — never an error row. OCR itself is out
+            # of scope in this environment (no models).
+            pages, has_layer, texty, sampled = classify_pdf(html)  # type: ignore[arg-type]
+            if has_layer:
+                return fmt, blocks_from_pages(pages), "ok", None
+            reason = (f"scan-class pdf ({texty}/{sampled} texty pages); "
+                      "ocr unavailable: ")
+            if text and text.strip():
+                return (fmt, extract_markdown(text), "degraded",
+                        reason + "crawl-supplied text used")
+            return (fmt, blocks_from_pages(pages), "degraded",
+                    reason + "sparse parsed text only")
         elif fmt == "docx":
             blocks = extract_docx(html)  # type: ignore[arg-type]
         elif fmt == "html":

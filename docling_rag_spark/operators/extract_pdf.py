@@ -297,12 +297,7 @@ def read_pdf_pages(data: bytes) -> list[str]:
     return texts
 
 
-def detect_text_layer(data: bytes) -> tuple[bool, int, int]:
-    """(has_text_layer, texty_pages, pages_sampled) — reference S3 semantics."""
-    try:
-        page_texts = read_pdf_pages(data)
-    except Exception:
-        return False, 0, 0
+def _detect_from_pages(page_texts: list[str]) -> tuple[bool, int, int]:
     n = len(page_texts)
     if n == 0:
         return False, 0, 0
@@ -315,11 +310,30 @@ def detect_text_layer(data: bytes) -> tuple[bool, int, int]:
     return (text_pages / len(indices)) >= DETECT_TEXT_RATIO, text_pages, len(indices)
 
 
+def detect_text_layer(data: bytes) -> tuple[bool, int, int]:
+    """(has_text_layer, texty_pages, pages_sampled) — reference S3 semantics."""
+    try:
+        page_texts = read_pdf_pages(data)
+    except Exception:
+        return False, 0, 0
+    return _detect_from_pages(page_texts)
+
+
+def classify_pdf(data: bytes) -> tuple[list[str], bool, int, int]:
+    """One parse serving both S3 detection and extraction:
+    (page_texts, has_text_layer, texty_pages, pages_sampled). Raises
+    PdfError on junk input (callers fail-soft)."""
+    page_texts = read_pdf_pages(data)
+    has, texty, sampled = _detect_from_pages(page_texts)
+    return page_texts, has, texty, sampled
+
+
+def blocks_from_pages(page_texts: list[str]) -> list[Block]:
+    """One text block per non-empty page, 1-based page provenance."""
+    return [Block("text", t.strip(), page=i + 1)
+            for i, t in enumerate(page_texts) if t.strip()]
+
+
 def extract_pdf(data: bytes) -> list[Block]:
     """Digital-text PDF -> one text block per non-empty page (reading order)."""
-    blocks: list[Block] = []
-    for i, text in enumerate(read_pdf_pages(data)):
-        t = text.strip()
-        if t:
-            blocks.append(Block("text", t, page=i + 1))
-    return blocks
+    return blocks_from_pages(read_pdf_pages(data))

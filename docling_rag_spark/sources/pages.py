@@ -51,6 +51,11 @@ FIXTURE_ROWS: list[tuple[str, bytes | None, str | None, str]] = [
                         "body text that easily clears the one hundred character "
                         "threshold for the text layer detector."] * 3), None, "en"),
     ("https://fixtures.example/docs/scan.pdf", FX.build_scan_pdf(2), None, "en"),
+    # scan-class PDF where the crawl supplied WET text: the degraded S3
+    # branch must emit that text as a low-confidence extraction
+    ("https://fixtures.example/docs/scanwet.pdf", FX.build_scan_pdf(3),
+     "Recovered WET text for the scanned report.\n\n"
+     "It carries two paragraphs the degraded branch must chunk.", "en"),
     ("https://fixtures.example/docs/broken.pdf", b"%PDF-1.4 truncated junk", None, "en"),
     ("https://fixtures.example/docs/empty.md", None, None, "en"),
     ("https://fixtures.example/docs/ru.md", FX.CYRILLIC_MARKDOWN.encode(), None, "ru"),

@@ -45,17 +45,26 @@ def test_error_isolation_fail_soft(docs_df):
     by_url = {r.url: r for r in extracted_table(docs_df).collect()}
     broken = by_url["https://fixtures.example/docs/broken.pdf"]
     assert broken.status == "error" and broken.n_chunks == 0
-    ok = [r for r in by_url.values() if r.status == "ok"]
-    assert len(ok) == N_DOCS - sum(1 for r in by_url.values() if r.status == "error")
-    assert len(ok) >= N_DOCS - 3
+    statuses = [r.status for r in by_url.values()]
+    assert set(statuses) <= {"ok", "degraded", "error"}
+    assert statuses.count("ok") + statuses.count("degraded") \
+        == N_DOCS - statuses.count("error")
+    assert statuses.count("ok") >= N_DOCS - 6
 
 
-def test_empty_and_scan_docs_ok_zero_chunks(docs_df):
+def test_empty_and_scan_docs_degraded_paths(docs_df):
     by_url = {r.url: r for r in extracted_table(docs_df).collect()}
     assert by_url["https://fixtures.example/docs/empty.md"].status == "ok"
     assert by_url["https://fixtures.example/docs/empty.md"].n_chunks == 0
+    # pure scan, no crawl text: degraded, zero chunks, never an error row
     scan = by_url["https://fixtures.example/docs/scan.pdf"]
-    assert scan.status == "ok" and scan.n_chunks == 0 and scan.format == "pdf"
+    assert scan.status == "degraded" and scan.n_chunks == 0
+    assert scan.format == "pdf" and "ocr unavailable" in scan.error
+    # scan WITH crawl-supplied WET text: degraded low-confidence extraction
+    wet = by_url["https://fixtures.example/docs/scanwet.pdf"]
+    assert wet.status == "degraded" and wet.n_chunks >= 1
+    assert "crawl-supplied text used" in wet.error
+    assert "Recovered WET text" in wet.extracted_text
 
 
 def test_byte_spans_verify_against_extracted_text(docs_df, spark):
