@@ -14,10 +14,14 @@ layer over partitioned parquet:
   * **dynamic partition overwrite**: re-committing a bucket replaces its
     directory wholesale — the delete-then-insert idempotent-reindex contract
     (reference core/indexer.py:100-101, D1/S6);
-  * **lineage**: one JSON file per committed batch records, per bucket,
-    ``(input_snapshot_id, bucket, doc_count, chunk_count, failure_count,
-    started_at, finished_at)`` — the jobs-queue replacement (SURVEY.md §2.9).
-    Resume = anti-join of all buckets against committed lineage rows (J3).
+  * **lineage**: a parquet TABLE (one file appended atomically per
+    committed batch) recording, per bucket, ``(input_snapshot_id, bucket,
+    doc_count, chunk_count, failure_count, started_at, finished_at)`` —
+    the jobs-queue replacement (SURVEY.md §2.9). Resume = anti-join of all
+    buckets against committed lineage rows (J3). Being a parquet table
+    (not driver-local JSON) it is readable by any engine on the cluster —
+    ``lineage_df`` is a plain ``spark.read.parquet`` — and maps 1:1 onto
+    an Iceberg append-only metrics table.
 
 On a real cluster each of these maps 1:1 onto Iceberg:
 ``bucket(N, url)`` partition spec, ``overwritePartitions()``, and a lineage
@@ -26,11 +30,23 @@ table appended with ``MERGE INTO``/append snapshots.
 
 from __future__ import annotations
 
-import json
 import os
 import shutil
 import time
 import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+LINEAGE_ARROW_SCHEMA = pa.schema([
+    ("input_snapshot_id", pa.string()),
+    ("bucket", pa.int32()),
+    ("doc_count", pa.int64()),
+    ("chunk_count", pa.int64()),
+    ("failure_count", pa.int64()),
+    ("started_at", pa.float64()),
+    ("finished_at", pa.float64()),
+])
 
 
 def bucket_dir(table_dir: str, bucket: int) -> str:
@@ -58,29 +74,29 @@ def lineage_dir(out_dir: str) -> str:
 
 
 def append_lineage(out_dir: str, snapshot_id: str, rows: list[dict]) -> str:
-    """Atomically append one lineage file (tmp write + rename)."""
+    """Atomically append one parquet file to the lineage table (tmp write +
+    rename — the commit protocol every table in this warehouse uses)."""
     d = lineage_dir(out_dir)
     os.makedirs(d, exist_ok=True)
-    name = f"{snapshot_id}-{uuid.uuid4().hex[:12]}.json"
+    name = f"{snapshot_id}-{uuid.uuid4().hex[:12]}.parquet"
     tmp = os.path.join(d, "." + name + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(rows, f)
-        f.flush()
-        os.fsync(f.fileno())
+    cols = {f.name: [r[f.name] for r in rows] for f in LINEAGE_ARROW_SCHEMA}
+    pq.write_table(pa.table(cols, schema=LINEAGE_ARROW_SCHEMA), tmp)
     final = os.path.join(d, name)
     os.rename(tmp, final)
     return final
 
 
 def read_lineage(out_dir: str) -> list[dict]:
+    """Driver-side lineage read (resume planning happens before any Spark
+    job runs, so this stays a direct parquet read, not a Spark query)."""
     d = lineage_dir(out_dir)
     if not os.path.isdir(d):
         return []
     rows: list[dict] = []
     for fn in sorted(os.listdir(d)):
-        if fn.endswith(".json") and not fn.startswith("."):
-            with open(os.path.join(d, fn)) as f:
-                rows.extend(json.load(f))
+        if fn.endswith(".parquet") and not fn.startswith("."):
+            rows.extend(pq.read_table(os.path.join(d, fn)).to_pylist())
     return rows
 
 
@@ -90,21 +106,22 @@ def completed_buckets(out_dir: str, snapshot_id: str) -> set[int]:
 
 
 def lineage_df(spark, out_dir: str):
-    """Lineage as a DataFrame (for metrics queries / the J3 anti-join)."""
+    """Lineage as a DataFrame — a plain parquet table scan (metrics
+    queries / the J3 anti-join read it like any other warehouse table)."""
     from pyspark.sql import types as T
 
     schema = T.StructType([
-        T.StructField("input_snapshot_id", T.StringType(), False),
-        T.StructField("bucket", T.IntegerType(), False),
-        T.StructField("doc_count", T.LongType(), False),
-        T.StructField("chunk_count", T.LongType(), False),
-        T.StructField("failure_count", T.LongType(), False),
-        T.StructField("started_at", T.DoubleType(), False),
-        T.StructField("finished_at", T.DoubleType(), False),
+        T.StructField("input_snapshot_id", T.StringType(), True),
+        T.StructField("bucket", T.IntegerType(), True),
+        T.StructField("doc_count", T.LongType(), True),
+        T.StructField("chunk_count", T.LongType(), True),
+        T.StructField("failure_count", T.LongType(), True),
+        T.StructField("started_at", T.DoubleType(), True),
+        T.StructField("finished_at", T.DoubleType(), True),
     ])
-    rows = read_lineage(out_dir)
-    return spark.createDataFrame(
-        [tuple(r[f.name] for f in schema.fields) for r in rows], schema=schema)
+    d = lineage_dir(out_dir)
+    return spark.read.schema(schema).parquet(d) if os.path.isdir(d) \
+        else spark.createDataFrame([], schema)
 
 
 def now() -> float:

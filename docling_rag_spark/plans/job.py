@@ -61,6 +61,19 @@ def bucket_of(url_col, num_buckets: int):
     return F.pmod(F.xxhash64(url_col), F.lit(num_buckets)).cast("int")
 
 
+def _staged_docs_schema():
+    """DOC_SCHEMA + the staging columns (bucket is the partition key)."""
+    from pyspark.sql import types as T
+
+    from docling_rag_spark.operators.pipeline import DOC_SCHEMA
+    # copy the field list: StructType.add mutates in place, and sharing
+    # DOC_SCHEMA's list would silently widen the UDF's output contract
+    return (T.StructType(list(DOC_SCHEMA.fields))
+            .add("n_chunks", T.IntegerType())
+            .add("is_error", T.IntegerType())
+            .add("bucket", T.IntegerType()))
+
+
 def run_extraction(
     spark: SparkSession,
     pages_path: str,
@@ -139,38 +152,33 @@ def run_extraction(
          .parquet(os.path.join(staging, "docs")))
 
         _t1 = _time.time()
-        # an all-empty batch (no urls hash into these buckets) writes only
-        # _SUCCESS; read-back would raise UNABLE_TO_INFER_SCHEMA — skip the
-        # derivations and still commit zero-count lineage so resume skips it
+        # schema-specified read: an all-empty batch (no urls hash into
+        # these buckets) writes only _SUCCESS, and an inferred read would
+        # raise UNABLE_TO_INFER_SCHEMA — with the explicit schema the read
+        # is simply empty and the derivations below no-op (no driver-side
+        # filesystem probing; the same read works against object storage)
         docs_dir = os.path.join(staging, "docs")
-        has_rows = any(
-            f.endswith(".parquet")
-            for _root, _dirs, files in os.walk(docs_dir) for f in files)
-        if has_rows:
-            docs = spark.read.parquet(docs_dir)
-            (chunks_table(docs)
-             .withColumn("bucket", bucket_of(F.col("url"), num_buckets))
-             .write.partitionBy("bucket").mode("overwrite")
-             .parquet(os.path.join(staging, "chunks")))
-            _t2 = _time.time()
-            (extracted_table(docs)
-             .withColumn("bucket", bucket_of(F.col("url"), num_buckets))
-             .write.partitionBy("bucket").mode("overwrite")
-             .parquet(os.path.join(staging, "extracted")))
-            _t3 = _time.time()
+        docs = spark.read.schema(_staged_docs_schema()).parquet(docs_dir)
+        (chunks_table(docs)
+         .withColumn("bucket", bucket_of(F.col("url"), num_buckets))
+         .write.partitionBy("bucket").mode("overwrite")
+         .parquet(os.path.join(staging, "chunks")))
+        _t2 = _time.time()
+        (extracted_table(docs)
+         .withColumn("bucket", bucket_of(F.col("url"), num_buckets))
+         .write.partitionBy("bucket").mode("overwrite")
+         .parquet(os.path.join(staging, "extracted")))
+        _t3 = _time.time()
 
-            # narrow-column scan over (bucket, n_chunks, is_error)
-            stats = {
-                row["bucket"]: row
-                for row in docs.groupBy("bucket").agg(
-                    F.count("*").alias("docs"),
-                    F.sum("n_chunks").alias("chunks"),
-                    F.sum("is_error").alias("failures"),
-                ).collect()
-            }
-        else:
-            _t2 = _t3 = _time.time()
-            stats = {}
+        # narrow-column scan over (bucket, n_chunks, is_error)
+        stats = {
+            row["bucket"]: row
+            for row in docs.groupBy("bucket").agg(
+                F.count("*").alias("docs"),
+                F.sum("n_chunks").alias("chunks"),
+                F.sum("is_error").alias("failures"),
+            ).collect()
+        }
 
         _t4 = _time.time()
         if debug:
