@@ -117,3 +117,50 @@ def upsert_documents(existing: DataFrame, updates: DataFrame) -> DataFrame:
         elif c in existing.columns or c in updates.columns:
             cols.append(scalar(c).alias(c))
     return joined.select(*cols)
+
+
+def upsert_registry_table(spark, out_dir: str, updates: DataFrame,
+                          num_buckets: int | None = None) -> dict:
+    """Bucket-pruned MERGE into the on-disk registry table (the same
+    partition-pruned write shape as ``delete_urls``): only the url-hash
+    buckets that can contain updated urls are read, merged via
+    ``upsert_documents``, and atomically re-committed — every other
+    bucket's files are untouched. On Iceberg this is the MERGE INTO from
+    the module docstring against a ``bucket(N, url)``-partitioned table;
+    a 10^12-row registry rewrites only the touched buckets either way."""
+    import os
+    import shutil
+
+    from docling_rag_spark.config import DEFAULT_NUM_BUCKETS
+    from docling_rag_spark.io import warehouse as wh
+    from docling_rag_spark.plans.job import bucket_of
+
+    num_buckets = num_buckets or DEFAULT_NUM_BUCKETS
+    table_dir = os.path.join(out_dir, "registry")
+    updates = collapse_updates(normalize_updates(updates))
+    buckets = sorted({
+        r["bucket"] for r in updates.select(
+            bucket_of(F.col("url"), num_buckets).alias("bucket"))
+        .distinct().collect()})
+    dirs = [wh.bucket_dir(table_dir, b) for b in buckets]
+    dirs = [d for d in dirs if os.path.isdir(d)]
+    if dirs:
+        existing = (spark.read.option("basePath", table_dir).parquet(*dirs)
+                    .drop("bucket"))
+    else:
+        existing = spark.createDataFrame(
+            [], updates.select(*[c for c in updates.columns]).schema)
+    merged = upsert_documents(existing, updates)
+    staging = os.path.join(out_dir, "_staging", "registry")
+    shutil.rmtree(staging, ignore_errors=True)
+    (merged.withColumn("bucket", bucket_of(F.col("url"), num_buckets))
+     .repartition(max(len(buckets), 1), F.col("bucket"))
+     .write.partitionBy("bucket").mode("overwrite").parquet(staging))
+    # buckets that vanished entirely still need their old dir replaced
+    for b in buckets:
+        sdir = wh.bucket_dir(staging, b)
+        if not os.path.isdir(sdir):
+            os.makedirs(sdir, exist_ok=True)
+    wh.commit_buckets(staging, table_dir, buckets)
+    shutil.rmtree(staging, ignore_errors=True)
+    return {"buckets_rewritten": buckets}

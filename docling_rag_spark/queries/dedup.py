@@ -59,11 +59,15 @@ def _hex60(col):
 _HEX60_SQL = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
 
 
-def _content_hash(col):
+def content_hash_col(col):
     """Canonical content hash: whitespace-collapsed lowercase md5 — ONE
-    definition shared by every exact-dedup variant (a drifted copy would
-    silently split their hash spaces)."""
+    definition shared by every exact-dedup variant AND the streaming
+    ingest bridge (a drifted copy would silently split their hash
+    spaces)."""
     return F.md5(F.regexp_replace(F.trim(F.lower(col)), r"\s+", " "))
+
+
+_content_hash = content_hash_col
 
 
 _CONTENT_HASH_SQL = ("md5(regexp_replace(trim(lower({x})), '\\s+', ' ', 'g'))")

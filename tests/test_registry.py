@@ -114,3 +114,40 @@ def test_upsert_coalesce_matrix(spark):
     twice = upsert_documents(once, updates)
     assert sorted(map(tuple, once.collect())) == \
         sorted(map(tuple, twice.collect()))
+
+
+def test_bucket_pruned_registry_upsert(spark, tmp_path):
+    """Partition-pruned MERGE: only url-hash buckets containing updated
+    urls are rewritten; untouched bucket files keep their mtime identity."""
+    import os
+
+    from docling_rag_spark.plans.registry import upsert_registry_table
+
+    out = str(tmp_path / "wh")
+    seed = _df(spark, [
+        (f"u://doc{i}", f"T{i}", None, None, [], "en", i, T0)
+        for i in range(40)])
+    upsert_registry_table(spark, out, seed, num_buckets=8)
+    table_dir = os.path.join(out, "registry")
+    before = {d: sorted(os.listdir(os.path.join(table_dir, d)))
+              for d in os.listdir(table_dir)}
+    mtimes = {d: os.path.getmtime(os.path.join(table_dir, d))
+              for d in before}
+
+    # update a single url -> exactly one bucket rewritten
+    upd = _df(spark, [("u://doc7", "NewTitle", "Auth", None, [], "en",
+                       99, T1)])
+    rep = upsert_registry_table(spark, out, upd, num_buckets=8)
+    assert len(rep["buckets_rewritten"]) == 1
+    touched = f"bucket={rep['buckets_rewritten'][0]}"
+    for d, mt in mtimes.items():
+        cur = os.path.getmtime(os.path.join(table_dir, d))
+        assert (cur != mt) == (d == touched), d
+
+    rows = {r["url"]: r for r in
+            spark.read.parquet(table_dir).drop("bucket").collect()}
+    assert len(rows) == 40
+    assert rows["u://doc7"]["title"] == "NewTitle"
+    assert rows["u://doc7"]["n_chunks"] == 99
+    assert rows["u://doc7"]["added_at"] == T0      # preserved
+    assert rows["u://doc3"]["title"] == "T3"       # untouched bucket intact

@@ -56,3 +56,51 @@ def test_stream_incremental_matches_batch(spark, tmp_path):
     want = {(r["url"], r["chunk_id"], r["text"])
             for r in batch.select("url", "chunk_id", "text").collect()}
     assert got == want
+
+
+def test_stream_ingest_dedup_bridge(spark, tmp_path):
+    """Incremental ingest dedups against the warehouse: duplicate content
+    arriving in a later micro-batch run appends nothing."""
+    import pandas as pd
+
+    from docling_rag_spark.streaming.ingest import stream_ingest_dedup
+
+    pages_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(pages_dir)
+
+    def page(url, body):
+        return {"url": url, "warc_ts": pd.Timestamp("2026-01-01", tz="UTC"),
+                "html": f"# Title\n\n{body}\n".encode(), "text": None,
+                "lang": "en"}
+
+    body_a = "Shared duplicate paragraph content for the dedup bridge test."
+    body_b = "Completely different second document body, long enough."
+    first = pd.DataFrame([page("https://a.example/1.md", body_a),
+                          page("https://a.example/2.md", body_a),  # in-batch dup
+                          page("https://a.example/3.md", body_b)])
+    _write_slice(first, os.path.join(pages_dir, "part-0.parquet"))
+
+    q = stream_ingest_dedup(spark, pages_dir, out_dir, ckpt)
+    assert q.awaitTermination(120), "stream did not drain"
+    chunks = spark.read.parquet(os.path.join(out_dir, "chunks"))
+    urls1 = {r["url"] for r in chunks.select("url").distinct().collect()}
+    # in-batch dup collapsed: lowest url per content hash survives
+    assert urls1 == {"https://a.example/1.md", "https://a.example/3.md"}
+
+    # second run: one dup of batch-1 content, one genuinely new doc
+    body_c = "A third, brand new body that has never been seen before."
+    second = pd.DataFrame([page("https://b.example/9.md", body_a),  # dup
+                           page("https://b.example/10.md", body_c)])
+    _write_slice(second, os.path.join(pages_dir, "part-1.parquet"))
+    q = stream_ingest_dedup(spark, pages_dir, out_dir, ckpt)
+    assert q.awaitTermination(120), "stream did not drain"
+
+    chunks = spark.read.parquet(os.path.join(out_dir, "chunks"))
+    urls2 = {r["url"] for r in chunks.select("url").distinct().collect()}
+    assert urls2 == urls1 | {"https://b.example/10.md"}
+    # index holds exactly one row per distinct content
+    idx = spark.read.parquet(os.path.join(out_dir, "dedup_index"))
+    assert idx.count() == 3
+    assert idx.select("content_hash").distinct().count() == 3
