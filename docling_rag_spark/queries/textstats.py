@@ -195,20 +195,21 @@ def text_fingerprint(spark, sf_dir):
     # min-sampled rolling 8-gram fingerprint (winnowing-style lower bound):
     # min over sampled i of hash(substr(norm, i, 8)); md5-based so DuckDB
     # matches. Stride 4 = winnowing density 1/4 (4× fewer hashes, still one
-    # window through every 8-char neighborhood).
-    grams = base.select(
+    # window through every 8-char neighborhood). array_min folds the min
+    # per-row map-side — no gram explode, no groupBy shuffle at all (the
+    # naive explode shape shuffles len/4 rows per document for a
+    # single-row-per-doc answer).
+    return base.select(
         "doc_id", F.md5("norm").alias("content_md5"),
         F.length("norm").cast("bigint").alias("n_chars_norm"),
-        F.explode(
+        F.array_min(
             F.transform(
                 F.sequence(F.lit(1),
                            F.greatest(F.length("norm") - F.lit(7), F.lit(1)),
                            F.lit(4)),
                 lambda i: F.conv(F.substring(F.md5(F.substring("norm", i, 8)),
                                              1, 15), 16, 10).cast("bigint"))
-        ).alias("gram_hash"))
-    return (grams.groupBy("doc_id", "content_md5", "n_chars_norm")
-            .agg(F.min("gram_hash").alias("min_gram_hash")))
+        ).alias("min_gram_hash"))
 
 
 FINGERPRINT_SQL = """
