@@ -44,6 +44,10 @@ BENCH_QUERIES = [
     "text_lang_id",
     "text_fingerprint",
     "text_token_count",
+    "text_pii_scrub",
+    "text_repetition",
+    "corpus_boilerplate",
+    "corpus_filter",
     "vec_topk_cosine",
     "vec_neardup_lsh",
     "vec_lsh_bucketed",

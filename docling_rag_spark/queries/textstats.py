@@ -231,9 +231,238 @@ FROM grams GROUP BY doc_id, content_md5, n_chars_norm
 """
 
 
+# --- PII scrubbing -----------------------------------------------------------
+# Patterns restricted to the regex subset Java (Spark) and RE2 (DuckDB)
+# treat identically: literal classes, bounded repetition, no backrefs.
+
+_PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_PHONE = r"[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+_PII_IP = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+def pii_scrub_expr(col):
+    """Redact emails → <EMAIL>, then phones → <PHONE>, then IPs → <IP>
+    (fixed order: the oracle applies the identical sequence)."""
+    out = F.regexp_replace(col, _PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, _PII_PHONE, "<PHONE>")
+    return F.regexp_replace(out, _PII_IP, "<IP>")
+
+
+def text_pii_scrub(spark, sf_dir):
+    """PII detection + redaction over the corpus (the scrub stage every
+    web-text training pipeline runs before tokenization). Counts are per
+    doc; the redacted text ships as an md5 so the oracle verifies the
+    exact redaction output without hauling full text through the compare.
+    The synthetic corpus is PII-free (all-zero counts here) — the
+    redaction mechanics are proven on authored PII fixtures in
+    tests/test_textstats_ops.py."""
+    docs = _t(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.size(F.regexp_extract_all(low, F.lit(_PII_EMAIL), 0))
+         .cast("bigint").alias("n_emails"),
+        F.size(F.regexp_extract_all(low, F.lit(_PII_PHONE), 0))
+         .cast("bigint").alias("n_phones"),
+        F.size(F.regexp_extract_all(low, F.lit(_PII_IP), 0))
+         .cast("bigint").alias("n_ips"),
+        F.md5(pii_scrub_expr(low)).alias("redacted_md5"))
+
+
+PII_SQL = f"""
+SELECT doc_id::BIGINT AS doc_id,
+       len(regexp_extract_all(lower(text), '{_PII_EMAIL}'))::BIGINT
+         AS n_emails,
+       len(regexp_extract_all(lower(text), '{_PII_PHONE}'))::BIGINT
+         AS n_phones,
+       len(regexp_extract_all(lower(text), '{_PII_IP}'))::BIGINT AS n_ips,
+       md5(regexp_replace(regexp_replace(regexp_replace(lower(text),
+           '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_PHONE}', '<PHONE>', 'g'),
+           '{_PII_IP}', '<IP>', 'g')) AS redacted_md5
+FROM documents
+"""
+
+
+# --- repetition stats (Gopher-style filters) ---------------------------------
+
+def text_repetition(spark, sf_dir):
+    """Token-repetition statistics (the Gopher/C4 repetition-filter
+    inputs): distinct-token ratio and most-common-token mass per doc.
+    One shuffle on (doc_id, tok) with map-side combine; the per-doc
+    reduction is a second tiny agg on doc_id."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = (docs.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                        _tokens(F.col("text")).alias("toks"))
+            .select("doc_id", F.explode("toks").alias("tok")))
+    per_tok = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    return (per_tok.groupBy("doc_id")
+            .agg(F.sum("c").cast("bigint").alias("n_tokens"),
+                 F.count("*").cast("bigint").alias("n_distinct"),
+                 F.max("c").cast("bigint").alias("top_count"))
+            .select("doc_id", "n_tokens", "n_distinct",
+                    F.floor(F.col("n_distinct") * 10000.0
+                            / F.col("n_tokens")).cast("bigint")
+                     .alias("distinct_ratio_bp"),
+                    F.floor(F.col("top_count") * 10000.0
+                            / F.col("n_tokens")).cast("bigint")
+                     .alias("top_token_bp")))
+
+
+REPETITION_SQL = """
+WITH t AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+), per_tok AS (
+  SELECT doc_id, tok, count(*) AS c FROM t GROUP BY doc_id, tok
+)
+SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_distinct,
+       floor(count(*) * 10000.0 / sum(c))::BIGINT AS distinct_ratio_bp,
+       floor(max(c) * 10000.0 / sum(c))::BIGINT AS top_token_bp
+FROM per_tok GROUP BY doc_id
+"""
+
+
+# --- corpus-level boilerplate n-grams ----------------------------------------
+
+_BOILER_K = 5     # 5-word grams
+_BOILER_DF = 3    # a gram in >= DF docs is boilerplate (test-corpus scale;
+                  # a production crawl uses a per-snapshot calibrated value)
+
+
+def corpus_boilerplate(spark, sf_dir):
+    """C4-style corpus-level boilerplate detection: word 5-grams occurring
+    in >= _BOILER_DF distinct documents are boilerplate; each doc reports
+    how much of it is made of them. Same inverted shape as jaccard: one
+    gram scan, one DF shuffle, one broadcast-able semi-join back."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                       _tokens(F.col("text")).alias("toks"))
+    from docling_rag_spark.queries.dedup import _shingles
+    grams = toks.select(
+        "doc_id", F.explode(_shingles(F.col("toks"), k=_BOILER_K))
+        .alias("g"))
+    boiler = (grams.groupBy("g")
+              .agg(F.count("*").alias("df"))
+              .filter(F.col("df") >= _BOILER_DF).select("g"))
+    per_doc = grams.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_grams"))
+    hit = (grams.join(boiler, "g", "left_semi")
+           .groupBy("doc_id")
+           .agg(F.count("*").cast("bigint").alias("n_boiler")))
+    return (per_doc.join(hit, "doc_id", "left")
+            .select("doc_id", "n_grams",
+                    F.coalesce(F.col("n_boiler"), F.lit(0)).cast("bigint")
+                     .alias("n_boiler"))
+            .withColumn("boiler_bp",
+                        F.floor(F.col("n_boiler") * 10000.0
+                                / F.greatest(F.col("n_grams"), F.lit(1)))
+                        .cast("bigint")))
+
+
+_BOILER_GRAMS_SQL = """
+  SELECT doc_id::BIGINT AS doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(regexp_extract_all(lower(text),
+                 '[a-z0-9]+')) - {km1}, 1) + 1),
+           i -> array_to_string(list_slice(regexp_extract_all(lower(text),
+                 '[a-z0-9]+'), i, i + {km1}), ' ')))) AS g
+  FROM documents
+""".format(km1=_BOILER_K - 1)
+
+BOILERPLATE_SQL = f"""
+WITH grams AS ({_BOILER_GRAMS_SQL}),
+boiler AS (
+  SELECT g FROM grams GROUP BY g HAVING count(*) >= {_BOILER_DF}
+), per_doc AS (
+  SELECT doc_id, count(*)::BIGINT AS n_grams FROM grams GROUP BY doc_id
+), hit AS (
+  SELECT doc_id, count(*)::BIGINT AS n_boiler FROM grams
+  WHERE g IN (SELECT g FROM boiler) GROUP BY doc_id
+)
+SELECT p.doc_id, p.n_grams, COALESCE(h.n_boiler, 0)::BIGINT AS n_boiler,
+       floor(COALESCE(h.n_boiler, 0) * 10000.0
+             / greatest(p.n_grams, 1))::BIGINT AS boiler_bp
+FROM per_doc p LEFT JOIN hit h ON p.doc_id = h.doc_id
+"""
+
+
+# --- composed corpus filter --------------------------------------------------
+
+_FILTER_MIN_WORDS = 30
+_FILTER_MAX_TOP_BP = 2500   # most-common token may own <= 25% of the doc
+
+
+def corpus_filter(spark, sf_dir):
+    """The composed keep/drop decision a training-data pipeline applies
+    per document (C4/Gopher-rule shape): length gate, language gate,
+    repetition gate — with the FIRST failing rule as the drop reason.
+    Single text scan plus the repetition agg, joined on doc_id."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    base = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.size(toks).cast("bigint").alias("n_words"),
+        F.size(F.filter(toks, lambda w: w.isin(*_STOP["en"])))
+         .cast("bigint").alias("stop_hits"))
+    rep = text_repetition(spark, sf_dir).select("doc_id", "top_token_bp")
+    j = base.join(rep, "doc_id", "left")
+    reason = (F.when(F.col("n_words") < _FILTER_MIN_WORDS, "too_short")
+              .when(F.col("stop_hits") == 0, "no_stopwords")
+              .when(F.coalesce(F.col("top_token_bp"), F.lit(0))
+                    > _FILTER_MAX_TOP_BP, "repetitive")
+              .otherwise("ok"))
+    return j.select(
+        "doc_id", "n_words",
+        F.coalesce(F.col("top_token_bp"), F.lit(0)).cast("bigint")
+         .alias("top_token_bp"),
+        reason.alias("reason"),
+        (reason == "ok").cast("int").alias("keep"))
+
+
+CORPUS_FILTER_SQL = f"""
+WITH base AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT
+           AS n_words,
+         len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+             w -> w IN ('the','a','of','and','to','in','is','that','it',
+                        'for')))::BIGINT AS stop_hits
+  FROM documents
+), t AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+), per_tok AS (
+  SELECT doc_id, tok, count(*) AS c FROM t GROUP BY doc_id, tok
+), rep AS (
+  SELECT doc_id, floor(max(c) * 10000.0 / sum(c))::BIGINT AS top_token_bp
+  FROM per_tok GROUP BY doc_id
+), j AS (
+  SELECT b.doc_id, b.n_words, b.stop_hits,
+         COALESCE(r.top_token_bp, 0)::BIGINT AS top_token_bp
+  FROM base b LEFT JOIN rep r ON b.doc_id = r.doc_id
+)
+SELECT doc_id, n_words, top_token_bp,
+       CASE WHEN n_words < {_FILTER_MIN_WORDS} THEN 'too_short'
+            WHEN stop_hits = 0 THEN 'no_stopwords'
+            WHEN top_token_bp > {_FILTER_MAX_TOP_BP} THEN 'repetitive'
+            ELSE 'ok' END AS reason,
+       CASE WHEN n_words >= {_FILTER_MIN_WORDS} AND stop_hits > 0
+                 AND top_token_bp <= {_FILTER_MAX_TOP_BP}
+            THEN 1 ELSE 0 END AS keep
+FROM j
+"""
+
+
 QUERIES = {
     "text_token_count": (text_token_count, TOKEN_COUNT_SQL),
     "text_quality": (text_quality, QUALITY_SQL),
     "text_lang_id": (text_lang_id, LANG_ID_SQL),
     "text_fingerprint": (text_fingerprint, FINGERPRINT_SQL),
+    "text_pii_scrub": (text_pii_scrub, PII_SQL),
+    "text_repetition": (text_repetition, REPETITION_SQL),
+    "corpus_boilerplate": (corpus_boilerplate, BOILERPLATE_SQL),
+    "corpus_filter": (corpus_filter, CORPUS_FILTER_SQL),
 }
