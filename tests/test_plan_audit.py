@@ -1,0 +1,83 @@
+"""Physical-plan audits: the scale properties the queries are designed
+around are asserted against the actual optimized plans, so a regression
+that un-pushes a filter, widens a scan, or degrades top-k into a global
+sort fails CI — not a 100 TB run."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from docling_rag_spark.queries import all_queries
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _plan(spark, name: str) -> str:
+    df = all_queries()[name](spark, SF_DIR)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+
+
+def _read_schemas(plan: str) -> list[str]:
+    return [line.split("ReadSchema:", 1)[1].strip()
+            for line in plan.splitlines() if "ReadSchema:" in line]
+
+
+def test_column_pruning_reaches_scan(spark):
+    """Narrow aggregations must not scan the wide text column."""
+    for schema in _read_schemas(_plan(spark, "a1_docs_per_source")):
+        assert "text" not in schema, schema
+    # dedup_exact needs text (it hashes it) but nothing else wide
+    for schema in _read_schemas(_plan(spark, "dedup_exact")):
+        assert "source" not in schema and "lang" not in schema, schema
+
+
+def test_filter_pushdown_q1(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert re.search(r"PushedFilters:.*LessThanOrEqual\(l_shipdate", plan)
+    # projection pruned: the 11-column lineitem scan reads only 6
+    schemas = _read_schemas(plan)
+    assert schemas and all("l_orderkey" not in s for s in schemas)
+
+
+def test_topk_is_take_ordered_not_global_sort(spark):
+    """Top-k queries must plan TakeOrderedAndProject (per-partition heap +
+    merge), never a full Exchange+Sort of the data."""
+    for q in ("vec_topk_cosine", "o3_recent_events", "q3_revenue_topk"):
+        plan = _plan(spark, q)
+        assert "TakeOrderedAndProject" in plan, q
+
+
+def test_dim_joins_broadcast(spark):
+    """Fact-to-dim joins must broadcast the dim side — a shuffled join of
+    lineitem against nation/customer is the classic 100 TB regression."""
+    for q in ("q3_revenue_topk", "q5_supplier_volume", "j1_orders_customer"):
+        plan = _plan(spark, q)
+        assert "BroadcastHashJoin" in plan, q
+        assert "SortMergeJoin" not in plan, q
+
+
+def test_no_cartesian_products_in_suite(spark):
+    """No query in the whole driver surface may plan an unconditioned
+    cartesian product (the broadcast-of-one-row crossJoins in the vector
+    queries are BroadcastNestedLoopJoin over a 1-row side — allowed)."""
+    for name in all_queries():
+        if name in ("vec_neardup_cosine",):  # documented O(N^2) diagnostic
+            continue
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_exchange_count_bounded(spark):
+    """Single-pass aggregations keep to one shuffle."""
+    for q, max_exchanges in (("a1_docs_per_source", 1),
+                             ("dedup_exact", 1),
+                             ("text_fingerprint", 0),
+                             ("text_token_count", 0),
+                             ("text_pii_scrub", 0)):
+        plan = _plan(spark, q)
+        n = len(re.findall(r"\bExchange\b", plan.split("== Physical Plan ==")[-1].split("(1) ")[0]))
+        assert n <= max_exchanges, f"{q}: {n} exchanges"
