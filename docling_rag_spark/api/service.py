@@ -1,0 +1,154 @@
+"""Serving-tier service functions over the extraction warehouse.
+
+The reference exposes its store through FastAPI endpoints
+(api/app.py:198-333: GET /search, GET /documents, DELETE /documents/{id},
+POST /documents -> async job, GET /jobs/{id}). This module provides the
+same operations as plain functions over (SparkSession, warehouse dir) so
+the stdlib HTTP server (api/server.py) — or any other frontend — stays a
+thin JSON shim. No web framework ships in this environment; the HTTP tier
+is deliberately dependency-free.
+
+Driver-side role: these run interactive, seconds-scale queries (top-k
+search is a TakeOrderedAndProject over the bucketed embeddings table;
+status is a lineage-table scan). The heavy batch work stays in plans/job.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from docling_rag_spark.io import warehouse as wh
+
+
+def search_warehouse(spark: SparkSession, warehouse: str, query: str,
+                     top_k: int = 5, url_prefix: str | None = None,
+                     log: bool = True) -> list[dict]:
+    """§3.2 search lifecycle: embed query -> top-k -> decorate (J1) ->
+    heading path (F3) + 300-char preview (F4) -> search log (S8)."""
+    from docling_rag_spark.operators.embed import embed_chunks
+    from docling_rag_spark.operators.search import log_search, search_chunks
+
+    chunks = spark.read.parquet(os.path.join(warehouse, "chunks"))
+    emb_path = os.path.join(warehouse, "embeddings")
+    emb = (spark.read.parquet(emb_path) if os.path.isdir(emb_path)
+           else embed_chunks(chunks))
+    allowed = None
+    if url_prefix is not None:
+        allowed = (chunks.select("url").distinct()
+                   .filter(F.col("url").startswith(url_prefix)))
+    hits = search_chunks(spark, emb, query, top_k=top_k,
+                         allowed_urls=allowed,
+                         store_is_empty=chunks.isEmpty())
+    docs = spark.read.parquet(os.path.join(warehouse, "extracted")) \
+        .select("url", "title")
+    meta = chunks.select("url", "chunk_id", "text", "headings",
+                         "page_number", "element_type")
+    rows = (hits.join(F.broadcast(docs), "url", "left")
+            .join(meta, ["url", "chunk_id"], "left")
+            .select("url", "chunk_id", F.round("score", 4).alias("score"),
+                    "title",
+                    F.array_join("headings", " > ").alias("heading_path"),
+                    F.translate(F.substring("text", 1, 300), "\n", " ")
+                     .alias("preview"),
+                    "page_number", "element_type")
+            .orderBy(F.desc("score"), "url", "chunk_id")
+            .collect())
+    if log:
+        log_search(warehouse, query, rows[0]["score"] if rows else None)
+    return [r.asDict() for r in rows]
+
+
+def status_payload(spark: SparkSession, warehouse: str) -> dict:
+    """Job-status rollup from the lineage table (the reference's GET
+    /jobs view, backed here by per-bucket lineage rows)."""
+    df = wh.lineage_df(spark, warehouse)
+    rows = (df.groupBy("input_snapshot_id")
+            .agg(F.countDistinct("bucket").alias("buckets_done"),
+                 F.sum("doc_count").alias("doc_count"),
+                 F.sum("chunk_count").alias("chunk_count"),
+                 F.sum("failure_count").alias("failure_count"),
+                 F.max("finished_at").alias("last_commit_at"))
+            .orderBy("input_snapshot_id").collect())
+    return {"snapshots": [r.asDict() for r in rows]}
+
+
+def documents_payload(spark: SparkSession, warehouse: str,
+                      limit: int = 100, url_prefix: str | None = None
+                      ) -> list[dict]:
+    """Catalog listing (reference GET /documents)."""
+    ex = spark.read.parquet(os.path.join(warehouse, "extracted"))
+    if url_prefix is not None:
+        ex = ex.filter(F.col("url").startswith(url_prefix))
+    rows = (ex.select("url", "title", "format", "status", "lang",
+                      "n_chunks")
+            .orderBy("url").limit(limit).collect())
+    return [r.asDict() for r in rows]
+
+
+def delete_documents(spark: SparkSession, warehouse: str,
+                     urls: list[str]) -> dict:
+    """FK-cascade delete across warehouse tables (reference DELETE
+    /documents/{id}; bucket-pruned rewrite, plans/job.py)."""
+    from docling_rag_spark.plans.job import delete_urls
+    return delete_urls(spark, warehouse, urls)
+
+
+class JobRunner:
+    """Async extraction jobs (reference POST /documents -> jobs queue).
+
+    One job at a time (the lock is the sandbox stand-in for the
+    reference's single-worker queue); job state lives in memory here and
+    in the lineage table durably — a restarted server resumes nothing,
+    but rerunning the same snapshot only processes uncommitted buckets
+    (J3 anti-join), which IS the durable queue semantics."""
+
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self._spark = spark
+        self._warehouse = warehouse
+        self._lock = threading.Lock()       # job-table mutations
+        self._run_lock = threading.Lock()   # serializes job execution
+        self._jobs: dict[str, dict] = {}
+        self._seq = 0
+
+    def submit(self, pages_path: str, snapshot_id: str = "snap-0",
+               num_buckets: int = 64) -> str:
+        with self._lock:
+            self._seq += 1
+            job_id = f"job-{self._seq}"
+            self._jobs[job_id] = {"job_id": job_id, "status": "queued",
+                                  "snapshot_id": snapshot_id,
+                                  "submitted_at": time.time()}
+
+        def run():
+            with self._run_lock:
+                self._run(job_id, pages_path, snapshot_id, num_buckets)
+
+        threading.Thread(target=run, daemon=True).start()
+        return job_id
+
+    def _run(self, job_id, pages_path, snapshot_id, num_buckets):
+        from docling_rag_spark.plans.job import run_extraction
+        self._jobs[job_id]["status"] = "running"
+        try:
+            rep = run_extraction(self._spark, pages_path, self._warehouse,
+                                 snapshot_id=snapshot_id,
+                                 num_buckets=num_buckets)
+            self._jobs[job_id].update(
+                status="done", doc_count=rep.doc_count,
+                chunk_count=rep.chunk_count,
+                failure_count=rep.failure_count,
+                buckets_skipped=rep.buckets_skipped)
+        except Exception as exc:  # job-level fail-soft: surfaced in state
+            self._jobs[job_id].update(status="error", error=str(exc))
+
+    def job(self, job_id: str) -> dict | None:
+        return self._jobs.get(job_id)
+
+    def jobs(self) -> list[dict]:
+        return sorted(self._jobs.values(),
+                      key=lambda j: j["submitted_at"])
