@@ -20,6 +20,11 @@ _HEADING_RE = re.compile(r"^(#{1,6})\s+(.*?)\s*#*\s*$")
 _FENCE_RE = re.compile(r"^(```|~~~)\s*(\S*)\s*$")
 _TABLE_RE = re.compile(r"^\s*\|.*\|\s*$")
 _LIST_RE = re.compile(r"^\s*(?:[-*+]|\d+[.)])\s+(.*)$")
+# setext underline: '===' -> h1 / '---' -> h2, but ONLY under a pending
+# paragraph line (CommonMark); a bare '---' with nothing pending is a
+# thematic break and is dropped
+_SETEXT_RE = re.compile(r"^\s*(=+|-+)\s*$")
+_BLOCKQUOTE_RE = re.compile(r"^\s*(?:>\s?)+")
 
 
 def extract_markdown(text: str) -> list[Block]:
@@ -69,6 +74,27 @@ def extract_markdown(text: str) -> list[Block]:
             blocks.append(Block("heading", m.group(2), level=len(m.group(1))))
             i += 1
             continue
+
+        m = _SETEXT_RE.match(line)
+        if m:
+            if para:  # setext heading closes the pending paragraph line(s)
+                blocks.append(Block(
+                    "heading", " ".join(para),
+                    level=1 if m.group(1)[0] == "=" else 2))
+                para.clear()
+            # else: thematic break — structural only, no text
+            flush_items()
+            i += 1
+            continue
+
+        bq = _BLOCKQUOTE_RE.match(line)
+        if bq:  # quoted content keeps its text, loses the marker
+            line = line[bq.end():]
+            stripped = line.strip()
+            if not stripped:
+                flush_para(); flush_items()
+                i += 1
+                continue
 
         if _TABLE_RE.match(line):
             flush_para(); flush_items()

@@ -42,3 +42,26 @@ def test_unclosed_fence_tolerated():
 def test_empty_doc():
     assert extract_markdown("") == []
     assert extract_markdown("\n\n  \n") == []
+
+
+def test_setext_headings_and_thematic_break():
+    md = ("Main Title\n==========\n\nintro paragraph text here\n\n"
+          "Section Two\n-----------\n\nbody text\n\n---\n\ntail text\n")
+    blocks = extract_markdown(md)
+    kinds = [(b.kind, getattr(b, "level", None), b.text) for b in blocks]
+    assert kinds[0] == ("heading", 1, "Main Title")
+    assert ("heading", 2, "Section Two") in kinds
+    # the bare --- with no pending paragraph is a break, not a heading
+    assert sum(1 for k, _, _ in kinds if k == "heading") == 2
+    assert [b.text for b in blocks if b.kind == "text"] == [
+        "intro paragraph text here", "body text", "tail text"]
+
+
+def test_blockquote_text_preserved_markers_stripped():
+    md = ("> quoted wisdom line one\n> and line two\n\n"
+          ">> nested quote depth two\n\nplain after\n")
+    blocks = extract_markdown(md)
+    texts = [b.text for b in blocks if b.kind == "text"]
+    assert texts[0] == "quoted wisdom line one and line two"
+    assert texts[1] == "nested quote depth two"
+    assert texts[2] == "plain after"
