@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "vec_topk_cosine",
     "vec_neardup_lsh",
     "vec_lsh_bucketed",
+    "vec_lsh_multiprobe",
+    "vec_ivf_topk",
     "extract_chunks",
 ]
 

@@ -139,17 +139,27 @@ _PLANES = [[_plane_value(j, i) for i in range(64)]
 
 
 def _bucket(emb_col):
-    """Static 8×64-term expression tree (no lambdas, no array literals —
-    both re-evaluate per element access); left-assoc sum order matches the
-    generated SQL exactly."""
-    bucket = F.lit(0).cast("bigint")
-    for j, row in enumerate(_PLANES):
-        dot = F.lit(0.0)
-        for i, v in enumerate(row):
-            dot = dot + F.element_at(emb_col, i + 1).cast("double") * F.lit(v)
-        bucket = bucket + F.when(dot > 0, F.lit(1 << j).cast("bigint")) \
-                           .otherwise(F.lit(0).cast("bigint"))
-    return bucket
+    """Sign-LSH bucket from a constant plane-matrix literal + HOFs: the
+    8x64 inline expression tree compiled for seconds per query in
+    whole-stage codegen; the literal constant-folds and the lambdas keep
+    the tree tiny. Left-fold dot accumulation matches the generated SQL's
+    left-assoc sum bit-for-bit (IEEE multiply is commutative, so the
+    zip_with term order is safe); the bit sum is integer, order-free."""
+    planes = F.array(*[F.array(*[F.lit(v) for v in row])
+                       for row in _PLANES])
+    dots = F.transform(
+        planes,
+        lambda p: F.aggregate(
+            F.zip_with(p, emb_col, lambda x, y: x * y.cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x))
+    # 2^j via pow (exact in doubles for j <= 7; F.shiftleft only takes a
+    # literal shift, not the lambda's index column)
+    contrib = F.transform(
+        dots, lambda d, j: F.when(d > 0, F.pow(F.lit(2.0), j)
+                                  .cast("bigint"))
+                            .otherwise(F.lit(0).cast("bigint")))
+    return F.aggregate(contrib, F.lit(0).cast("bigint"),
+                       lambda a, x: a + x)
 
 
 def _bucket_sql(e: str) -> str:
@@ -246,9 +256,168 @@ WHERE floor({_dot_sql('a.embedding', 'b.embedding')}
 """
 
 
+
+
+# --- multi-probe LSH ---------------------------------------------------------
+
+def vec_lsh_multiprobe(spark, sf_dir):
+    """Multi-probe LSH top-k: candidates come from the query's bucket AND
+    every bucket at hamming distance 1 (9 of 256 buckets) — the standard
+    recall fix for sign-LSH's hard bucket boundaries. Still bucket-pruned:
+    at scale the probe set is 9 partition lookups, not a scan; the
+    bit_count test here is against the single broadcast query row."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("bigint").alias("vec_id"), "embedding",
+        _bucket(F.col("embedding")).alias("bucket"))
+    q = (emb.filter(F.col("vec_id") == _QUERY_VEC_ID)
+         .select(F.col("embedding").alias("q_emb"),
+                 F.col("bucket").alias("q_bucket")))
+    cos = F.floor(_dot(F.col("embedding"), F.col("q_emb"))
+                  / (_norm(F.col("embedding")) * _norm(F.col("q_emb")))
+                  * 1000000.0).cast("bigint")
+    probe = F.bit_count(F.col("bucket").bitwiseXOR(F.col("q_bucket"))) <= 1
+    return (emb.crossJoin(F.broadcast(q))
+            .filter(probe & (F.col("vec_id") != _QUERY_VEC_ID))
+            .select("vec_id", F.col("bucket").cast("bigint").alias("bucket"),
+                    cos.alias("score_e6"))
+            .orderBy(F.desc("score_e6"), F.asc("vec_id")).limit(_TOPK))
+
+
+MULTIPROBE_SQL = f"""
+WITH bucketed AS (
+  SELECT vec_id::BIGINT AS vec_id, embedding,
+         {_bucket_sql('embedding')} AS bucket
+  FROM embeddings
+), q AS (
+  SELECT embedding AS q_emb, bucket AS q_bucket FROM bucketed
+  WHERE vec_id = {_QUERY_VEC_ID}
+)
+SELECT e.vec_id, e.bucket::BIGINT AS bucket,
+       floor({_dot_sql('e.embedding', 'q.q_emb')}
+             / ({_norm_sql('e.embedding')} * {_norm_sql('q.q_emb')})
+             * 1000000.0)::BIGINT AS score_e6
+FROM bucketed e CROSS JOIN q
+WHERE bit_count(xor(e.bucket, q.q_bucket)) <= 1
+  AND e.vec_id != {_QUERY_VEC_ID}
+ORDER BY score_e6 DESC, vec_id ASC LIMIT {_TOPK}
+"""
+
+
+# --- IVF coarse quantizer ----------------------------------------------------
+# K deterministic md5-derived centroids (a k-means stand-in: no iterative
+# training in a deterministic two-engine setting); a vector's partition is
+# its max-dot-product centroid. Search scans ONLY the query's cell — at
+# scale the cell id is the partition key, exactly like the LSH bucket.
+# K=8 keeps the K*64-term assignment expression inside reasonable
+# Catalyst/codegen compile time (the cost is per-QUERY compile, amortized
+# over any real input size; a model-trained quantizer on a real cluster
+# would be a pandas_udf matmul instead).
+
+_IVF_K = 16
+
+
+def _centroid_value(c: int, i: int) -> float:
+    import hashlib
+    h = int(hashlib.md5(f"ivf_{c}_{i}".encode()).hexdigest()[:15], 16)
+    return ((h % 1001) - 500) / 500.0
+
+
+_CENTROIDS = [[_centroid_value(c, i) for i in range(64)]
+              for c in range(_IVF_K)]
+
+
+def _ivf_cell(emb_col):
+    """argmax_c dot(emb, centroid_c), ties to the lower cell id: the
+    centroid matrix is a constant nested-array literal and the K dot
+    products come from transform/zip_with/aggregate — a tiny expression
+    tree (a K*64-term inline sum compiles for ~15 s in codegen; a
+    CASE-chain argmax fold would even double per centroid). Left-fold
+    accumulation matches the SQL mirror's left-assoc sum bit-for-bit;
+    IEEE multiplication is commutative so term order is x*y vs y*x safe."""
+    cents = F.array(*[F.array(*[F.lit(v) for v in row])
+                      for row in _CENTROIDS])
+    dots = F.transform(
+        cents,
+        lambda c: F.aggregate(
+            F.zip_with(c, emb_col, lambda x, y: x * y.cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x))
+    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+
+
+def _ivf_cell_sql(e: str) -> str:
+    """list_indexof-of-max mirror of _ivf_cell (first occurrence = same
+    lower-cell tie rule); linear SQL size."""
+    dots = []
+    for row in _CENTROIDS:
+        terms = " + ".join(f"{e}[{i + 1}]::DOUBLE * {v!r}"
+                           for i, v in enumerate(row))
+        dots.append(f"(0.0 + {terms})")
+    lst = "[" + ", ".join(dots) + "]"
+    return f"(list_indexof({lst}, list_max({lst})) - 1)::INT"
+
+
+def vec_ivf_topk(spark, sf_dir):
+    """IVF-style ANN: scan only the query's coarse cell, exact cosine
+    within it. The cell histogram (vec_ivf_cells) is the partition-pruning
+    evidence; at 10^9 vectors each cell is a partition and this query
+    touches one of them."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("bigint").alias("vec_id"), "embedding",
+        _ivf_cell(F.col("embedding")).alias("cell"))
+    q = (emb.filter(F.col("vec_id") == _QUERY_VEC_ID)
+         .select(F.col("embedding").alias("q_emb"),
+                 F.col("cell").alias("q_cell")))
+    cos = F.floor(_dot(F.col("embedding"), F.col("q_emb"))
+                  / (_norm(F.col("embedding")) * _norm(F.col("q_emb")))
+                  * 1000000.0).cast("bigint")
+    return (emb.join(F.broadcast(q), emb.cell == q.q_cell)
+            .filter(F.col("vec_id") != _QUERY_VEC_ID)
+            .select("vec_id", F.col("cell").cast("int").alias("cell"),
+                    cos.alias("score_e6"))
+            .orderBy(F.desc("score_e6"), F.asc("vec_id")).limit(_TOPK))
+
+
+IVF_TOPK_SQL = f"""
+WITH cells AS (
+  SELECT vec_id::BIGINT AS vec_id, embedding,
+         {_ivf_cell_sql('embedding')} AS cell
+  FROM embeddings
+), q AS (
+  SELECT embedding AS q_emb, cell AS q_cell FROM cells
+  WHERE vec_id = {_QUERY_VEC_ID}
+)
+SELECT e.vec_id, e.cell::INT AS cell,
+       floor({_dot_sql('e.embedding', 'q.q_emb')}
+             / ({_norm_sql('e.embedding')} * {_norm_sql('q.q_emb')})
+             * 1000000.0)::BIGINT AS score_e6
+FROM cells e JOIN q ON e.cell = q.q_cell
+WHERE e.vec_id != {_QUERY_VEC_ID}
+ORDER BY score_e6 DESC, vec_id ASC LIMIT {_TOPK}
+"""
+
+
+def vec_ivf_cells(spark, sf_dir):
+    """Cell-population histogram — the partition-balance evidence for the
+    IVF path (a dominant cell would mean the quantizer fails to prune)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (emb.select(_ivf_cell(F.col("embedding")).alias("cell"))
+            .groupBy("cell")
+            .agg(F.count("*").cast("bigint").alias("n_vectors")))
+
+
+IVF_CELLS_SQL = f"""
+SELECT {_ivf_cell_sql('embedding')} AS cell,
+       count(*)::BIGINT AS n_vectors
+FROM embeddings GROUP BY 1
+"""
+
+
 QUERIES = {
     "vec_topk_cosine": (vec_topk_cosine, TOPK_SQL),
     "vec_neardup_cosine": (vec_neardup_cosine, NEARDUP_SQL),
     "vec_neardup_lsh": (vec_neardup_lsh, NEARDUP_LSH_SQL),
     "vec_lsh_bucketed": (vec_lsh_bucketed, LSH_SQL),
+    "vec_lsh_multiprobe": (vec_lsh_multiprobe, MULTIPROBE_SQL),
+    "vec_ivf_topk": (vec_ivf_topk, IVF_TOPK_SQL),
+    "vec_ivf_cells": (vec_ivf_cells, IVF_CELLS_SQL),
 }
