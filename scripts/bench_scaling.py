@@ -89,34 +89,38 @@ def main() -> int:
     from docling_rag_spark.sources.pages import write_pages_parquet
     n = write_pages_parquet(pages, args.docs, heaviness=args.heaviness)
 
-    results = {}
-    for cores in args.levels:
-        best = None
-        for t in range(args.trials):
-            r = run_level(pages, cores, tmp, t)
-            if best is None or r["docs_per_sec"] > best["docs_per_sec"]:
-                best = r
-        results[cores] = best
-
     lo, hi = min(args.levels), max(args.levels)
-    tput_lo = results[lo]["docs_per_sec"]
-    tput_hi = results[hi]["docs_per_sec"]
     ratio = hi / lo
-    eff = (tput_hi / tput_lo) / ratio
-    ceiling = cpu_ceiling(args.levels)
-    hw_eff = (ceiling[hi] / ceiling[lo]) / ratio
+    # drift-robust protocol: trials run INTERLEAVED (lo, hi, lo, hi, ...)
+    # so slow co-tenant drift hits both levels equally; efficiency is
+    # computed per adjacent (lo, hi) pair and the MEDIAN pair is reported
+    # (a best-of-N per level lets one lucky lo trial tank the ratio).
+    # The CPU probe runs before AND after as the contention control.
+    probe_before = cpu_ceiling(args.levels)
+    pairs = []
+    trials = {lo: [], hi: []}
+    for t in range(args.trials):
+        r_lo = run_level(pages, lo, tmp, 2 * t)
+        r_hi = run_level(pages, hi, tmp, 2 * t + 1)
+        trials[lo].append(r_lo["docs_per_sec"])
+        trials[hi].append(r_hi["docs_per_sec"])
+        pairs.append(round(
+            (r_hi["docs_per_sec"] / r_lo["docs_per_sec"]) / ratio, 3))
+    probe_after = cpu_ceiling(args.levels)
+    med = sorted(pairs)[len(pairs) // 2]
     out = {
         "metric": "extraction scaling efficiency",
         "n_docs": n,
-        "levels": {str(c): {"docs_per_sec": results[c]["docs_per_sec"],
-                            "elapsed_sec": results[c]["elapsed_sec"]}
-                   for c in args.levels},
-        "efficiency": round(eff, 3),
+        "trials_docs_per_sec": {str(c): trials[c] for c in (lo, hi)},
+        "pair_efficiencies": pairs,
+        "efficiency": med,
         "core_ratio": ratio,
         "target": 0.8,
-        "pass": eff >= 0.8,
-        "hw_cpu_Mmd5_per_sec": {str(c): ceiling[c] for c in args.levels},
-        "hw_ceiling_efficiency": round(hw_eff, 3),
+        "pass": med >= 0.8,
+        "hw_probe_Mmd5_before": {str(c): probe_before[c]
+                                 for c in args.levels},
+        "hw_probe_Mmd5_after": {str(c): probe_after[c]
+                                for c in args.levels},
     }
     print(json.dumps(out))
     return 0
