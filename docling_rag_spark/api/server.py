@@ -105,8 +105,9 @@ def make_server(spark: SparkSession, warehouse: str,
             q = parse_qs(u.query)
             try:
                 if u.path == "/documents" and q.get("url"):
-                    self._json(service.delete_documents(
-                        spark, warehouse, q["url"]))
+                    # serialized against extraction jobs via the runner's
+                    # run-lock (mutating ops must not interleave)
+                    self._json(runner.delete(q["url"]))
                 else:
                     self._json({"error": "missing url"}, 400)
             except Exception as exc:

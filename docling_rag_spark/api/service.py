@@ -133,22 +133,36 @@ class JobRunner:
 
     def _run(self, job_id, pages_path, snapshot_id, num_buckets):
         from docling_rag_spark.plans.job import run_extraction
-        self._jobs[job_id]["status"] = "running"
+        self._update(job_id, status="running")
         try:
             rep = run_extraction(self._spark, pages_path, self._warehouse,
                                  snapshot_id=snapshot_id,
                                  num_buckets=num_buckets)
-            self._jobs[job_id].update(
-                status="done", doc_count=rep.doc_count,
-                chunk_count=rep.chunk_count,
-                failure_count=rep.failure_count,
-                buckets_skipped=rep.buckets_skipped)
+            self._update(job_id, status="done", doc_count=rep.doc_count,
+                         chunk_count=rep.chunk_count,
+                         failure_count=rep.failure_count,
+                         buckets_skipped=rep.buckets_skipped)
         except Exception as exc:  # job-level fail-soft: surfaced in state
-            self._jobs[job_id].update(status="error", error=str(exc))
+            self._update(job_id, status="error", error=str(exc))
+
+    def _update(self, job_id: str, **kw) -> None:
+        with self._lock:
+            self._jobs[job_id] = {**self._jobs[job_id], **kw}
+
+    def delete(self, urls: list[str]) -> dict:
+        """FK-cascade delete, serialized against extraction jobs (a delete
+        racing a running job would rewrite buckets the job is about to
+        commit over — last-write-wins either way; the lock makes the
+        ordering explicit instead of torn)."""
+        with self._run_lock:
+            return delete_documents(self._spark, self._warehouse, urls)
 
     def job(self, job_id: str) -> dict | None:
-        return self._jobs.get(job_id)
+        with self._lock:
+            j = self._jobs.get(job_id)
+            return dict(j) if j is not None else None
 
     def jobs(self) -> list[dict]:
-        return sorted(self._jobs.values(),
-                      key=lambda j: j["submitted_at"])
+        with self._lock:
+            snap = [dict(j) for j in self._jobs.values()]
+        return sorted(snap, key=lambda j: j["submitted_at"])

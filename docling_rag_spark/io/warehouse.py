@@ -81,7 +81,12 @@ def append_lineage(out_dir: str, snapshot_id: str, rows: list[dict]) -> str:
     name = f"{snapshot_id}-{uuid.uuid4().hex[:12]}.parquet"
     tmp = os.path.join(d, "." + name + ".tmp")
     cols = {f.name: [r[f.name] for r in rows] for f in LINEAGE_ARROW_SCHEMA}
-    pq.write_table(pa.table(cols, schema=LINEAGE_ARROW_SCHEMA), tmp)
+    # lineage is the durable commit record: fsync before the rename so a
+    # crash can never leave a truncated parquet behind the final name
+    with open(tmp, "wb") as f:
+        pq.write_table(pa.table(cols, schema=LINEAGE_ARROW_SCHEMA), f)
+        f.flush()
+        os.fsync(f.fileno())
     final = os.path.join(d, name)
     os.rename(tmp, final)
     return final
@@ -96,7 +101,13 @@ def read_lineage(out_dir: str) -> list[dict]:
     rows: list[dict] = []
     for fn in sorted(os.listdir(d)):
         if fn.endswith(".parquet") and not fn.startswith("."):
-            rows.extend(pq.read_table(os.path.join(d, fn)).to_pylist())
+            try:
+                rows.extend(pq.read_table(os.path.join(d, fn)).to_pylist())
+            except pa.ArrowInvalid as exc:
+                # a torn file (pre-fsync crash) must not wedge every future
+                # resume; its buckets simply re-run (idempotent commit)
+                import warnings
+                warnings.warn(f"skipping unreadable lineage file {fn}: {exc}")
     return rows
 
 

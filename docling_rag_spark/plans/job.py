@@ -236,7 +236,14 @@ def run_extraction(
         if _fail_after_batches is not None and batch_idx + 1 >= _fail_after_batches:
             raise RuntimeError("injected failure for resume testing")
 
-    shutil.rmtree(staging_root, ignore_errors=True)
+    # Remove ONLY the _staging root if nothing else is using it: a delete /
+    # registry-upsert racing a finishing job stages under the same root, and
+    # an rmtree here would wipe its bucket rewrite mid-commit. Each writer
+    # cleans its own unique staging dir; the empty root is vacuumed softly.
+    try:
+        os.rmdir(staging_root)
+    except OSError:
+        pass  # non-empty (another writer's staging) or already gone
     return report
 
 
@@ -269,7 +276,11 @@ def delete_urls(spark: SparkSession, out_dir: str, urls: list[str],
             bucket_of(F.col("url"), num_buckets).alias("bucket"))
         .distinct().collect()})
     report = {"buckets_rewritten": buckets, "rows_deleted": {}}
-    staging = os.path.join(out_dir, "_staging", "delete")
+    # unique per-invocation staging dir: concurrent deletes (or a delete
+    # racing an extraction job's cleanup) must never share a staging path
+    import uuid
+    staging = os.path.join(out_dir, "_staging",
+                           f"delete-{uuid.uuid4().hex[:12]}")
     for table in tables:
         table_dir = os.path.join(out_dir, table)
         dirs = [wh.bucket_dir(table_dir, b) for b in buckets]

@@ -151,7 +151,11 @@ def upsert_registry_table(spark, out_dir: str, updates: DataFrame,
         existing = spark.createDataFrame(
             [], updates.select(*[c for c in updates.columns]).schema)
     merged = upsert_documents(existing, updates)
-    staging = os.path.join(out_dir, "_staging", "registry")
+    # unique per-invocation staging dir (same rationale as delete_urls:
+    # concurrent writers must never share a staging path)
+    import uuid
+    staging = os.path.join(out_dir, "_staging",
+                           f"registry-{uuid.uuid4().hex[:12]}")
     shutil.rmtree(staging, ignore_errors=True)
     (merged.withColumn("bucket", bucket_of(F.col("url"), num_buckets))
      .repartition(max(len(buckets), 1), F.col("bucket"))

@@ -390,20 +390,26 @@ def _simhash_bands(fp):
                     F.col("seg.band_val").alias("band_val")))
 
 
-def dedup_simhash_pairs(spark, sf_dir):
-    """Banded (pigeonhole-blocked) hamming join — EXACTLY the brute-force
-    pair set (the oracle SQL below stays brute-force on purpose: DuckDB
-    independently proves the blocking loses no pair). The bucket cap never
-    fires at test SFs (buckets are ~N/2^7); at 10^12 docs it bounds the
-    per-bucket quadratic term for degenerate band values, with the drop
-    observable via dedup_simhash_band_stats."""
+def dedup_simhash_pairs(spark, sf_dir, band_cap: int | None = _SIMHASH_BAND_CAP):
+    """Banded (pigeonhole-blocked) hamming join. With ``band_cap=None`` the
+    pair set is EXACTLY brute force (pigeonhole guarantees ≥1 shared clean
+    segment within hamming 6) — ``tests/test_dedup_ops.py`` pins that
+    equivalence against the uncapped brute-force SQL. With a cap, degenerate
+    (band, band_val) buckets larger than the cap are excluded from candidate
+    generation to bound the per-bucket quadratic term at 10^12 docs; the
+    oracle SQL mirrors the cap IDENTICALLY (same semantics as the jaccard
+    ``_JACCARD_DF_CAP`` mirror), so Spark and DuckDB drop the same pairs at
+    any SF and the correctness gate cannot spuriously mismatch. Drops stay
+    observable via ``dedup_simhash_band_stats``."""
     fp = dedup_simhash(spark, sf_dir)
     bands = _simhash_bands(fp)
-    sizes = (bands.groupBy("band", "band_val")
-             .agg(F.count("*").alias("n"))
-             .filter(F.col("n") <= _SIMHASH_BAND_CAP)
-             .select("band", "band_val"))
-    bands = bands.join(F.broadcast(sizes), ["band", "band_val"], "left_semi")
+    if band_cap is not None:
+        sizes = (bands.groupBy("band", "band_val")
+                 .agg(F.count("*").alias("n"))
+                 .filter(F.col("n") <= band_cap)
+                 .select("band", "band_val"))
+        bands = bands.join(F.broadcast(sizes), ["band", "band_val"],
+                           "left_semi")
     a, b = bands.alias("a"), bands.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.band_val") == F.col("b.band_val"))
@@ -417,13 +423,49 @@ def dedup_simhash_pairs(spark, sf_dir):
             .distinct())
 
 
-SIMHASH_PAIRS_SQL = f"""
+# Brute-force twin (no blocking at all): the independent proof that the
+# banded join with the cap DISABLED loses no pair (pytest-pinned).
+SIMHASH_PAIRS_BRUTE_SQL = f"""
 WITH fp AS ({SIMHASH_SQL})
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
 FROM fp a JOIN fp b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_MAX_HAMMING}
 """
+
+
+def simhash_pairs_sql(band_cap: int | None = _SIMHASH_BAND_CAP) -> str:
+    """DuckDB twin of ``dedup_simhash_pairs`` at the same ``band_cap`` —
+    the cap is mirrored on both sides (like ``_JACCARD_DF_CAP``) so the
+    hash compare holds at every SF, including ones where buckets overflow
+    the cap. ``band_cap=None`` degenerates to the brute-force twin."""
+    if band_cap is None:
+        return SIMHASH_PAIRS_BRUTE_SQL
+    w = (_SIMHASH_BITS + _SIMHASH_N_BANDS - 1) // _SIMHASH_N_BANDS
+    return f"""
+WITH fp AS ({SIMHASH_SQL}),
+bands AS (
+  SELECT doc_id, simhash, b.band,
+         (simhash >> (b.band * {w}))
+           & ((1::BIGINT << least({w}, {_SIMHASH_BITS} - b.band * {w})) - 1)
+           AS band_val
+  FROM fp CROSS JOIN (SELECT i::INT AS band
+                      FROM range({_SIMHASH_N_BANDS}) t(i)) b
+), ok AS (
+  SELECT band, band_val FROM bands
+  GROUP BY band, band_val HAVING count(*) <= {band_cap}
+), kept AS (
+  SELECT bands.* FROM bands JOIN ok USING (band, band_val)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM kept a JOIN kept b USING (band, band_val)
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_MAX_HAMMING}
+"""
+
+
+SIMHASH_PAIRS_SQL = simhash_pairs_sql(_SIMHASH_BAND_CAP)
 
 
 def dedup_simhash_band_stats(spark, sf_dir):

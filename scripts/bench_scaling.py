@@ -89,38 +89,53 @@ def main() -> int:
     from docling_rag_spark.sources.pages import write_pages_parquet
     n = write_pages_parquet(pages, args.docs, heaviness=args.heaviness)
 
-    lo, hi = min(args.levels), max(args.levels)
-    ratio = hi / lo
-    # drift-robust protocol: trials run INTERLEAVED (lo, hi, lo, hi, ...)
-    # so slow co-tenant drift hits both levels equally; efficiency is
-    # computed per adjacent (lo, hi) pair and the MEDIAN pair is reported
-    # (a best-of-N per level lets one lucky lo trial tank the ratio).
+    levels = sorted(set(args.levels))
+    if len(levels) < 2:
+        ap.error("--levels needs at least two distinct values")
+    lo, hi = levels[0], levels[-1]
+    # drift-robust protocol: each trial runs EVERY requested level
+    # back-to-back (lo..hi interleaved across trials) so slow co-tenant
+    # drift hits all levels equally; efficiency is computed per ADJACENT
+    # level pair within each trial and the MEDIAN across trials is
+    # reported per pair (a best-of-N per level lets one lucky lo trial
+    # tank the ratio). Intermediate --levels entries are first-class:
+    # every level gets trials and an adjacent-pair efficiency row.
     # The CPU probe runs before AND after as the contention control.
-    probe_before = cpu_ceiling(args.levels)
-    pairs = []
-    trials = {lo: [], hi: []}
+    probe_before = cpu_ceiling(levels)
+    trials: dict[int, list[float]] = {c: [] for c in levels}
+    pair_effs: dict[tuple[int, int], list[float]] = {
+        (levels[i], levels[i + 1]): [] for i in range(len(levels) - 1)}
+    overall = []
     for t in range(args.trials):
-        r_lo = run_level(pages, lo, tmp, 2 * t)
-        r_hi = run_level(pages, hi, tmp, 2 * t + 1)
-        trials[lo].append(r_lo["docs_per_sec"])
-        trials[hi].append(r_hi["docs_per_sec"])
-        pairs.append(round(
-            (r_hi["docs_per_sec"] / r_lo["docs_per_sec"]) / ratio, 3))
-    probe_after = cpu_ceiling(args.levels)
-    med = sorted(pairs)[len(pairs) // 2]
+        per_level = {}
+        for i, c in enumerate(levels):
+            r = run_level(pages, c, tmp, t * len(levels) + i)
+            per_level[c] = r["docs_per_sec"]
+            trials[c].append(r["docs_per_sec"])
+        for (a, b) in pair_effs:
+            pair_effs[(a, b)].append(round(
+                (per_level[b] / per_level[a]) / (b / a), 3))
+        overall.append(round(
+            (per_level[hi] / per_level[lo]) / (hi / lo), 3))
+    probe_after = cpu_ceiling(levels)
+
+    def med(xs):
+        return sorted(xs)[len(xs) // 2]
+
+    med_overall = med(overall)
     out = {
         "metric": "extraction scaling efficiency",
         "n_docs": n,
-        "trials_docs_per_sec": {str(c): trials[c] for c in (lo, hi)},
-        "pair_efficiencies": pairs,
-        "efficiency": med,
-        "core_ratio": ratio,
+        "trials_docs_per_sec": {str(c): trials[c] for c in levels},
+        "pair_efficiencies": {f"{a}->{b}": v
+                              for (a, b), v in pair_effs.items()},
+        "overall_efficiencies": overall,
+        "efficiency": med_overall,
+        "core_ratio": hi / lo,
         "target": 0.8,
-        "pass": med >= 0.8,
-        "hw_probe_Mmd5_before": {str(c): probe_before[c]
-                                 for c in args.levels},
-        "hw_probe_Mmd5_after": {str(c): probe_after[c]
-                                for c in args.levels},
+        "pass": med_overall >= 0.8,
+        "hw_probe_Mmd5_before": {str(c): probe_before[c] for c in levels},
+        "hw_probe_Mmd5_after": {str(c): probe_after[c] for c in levels},
     }
     print(json.dumps(out))
     return 0
