@@ -59,12 +59,13 @@ BENCH_QUERIES = [
 
 def main() -> int:
     import docling_rag_spark
-    from docling_rag_spark.queries import all_queries
+    from docling_rag_spark.queries import all_diagnostics, all_queries
     from docling_rag_spark.session import get_spark
 
     spark = get_spark(app_name="bench")
     docling_rag_spark.ship(spark)
-    qs = all_queries()
+    qs = {**{n: b for n, (b, _s) in all_diagnostics().items()},
+          **all_queries()}
 
     n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
 

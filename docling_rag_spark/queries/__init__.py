@@ -26,18 +26,33 @@ from docling_rag_spark.queries import dedup, extraction, relational, textstats, 
 ALL_MODULES = (relational, textstats, dedup, vectors, extraction)
 
 
-def all_queries():
-    out = {}
+def _registry():
+    """Driver-visible registry, oracle-backed entries FIRST: the driver's
+    CORRECTNESS window records a bounded number of rows in registry order,
+    so every query with a DuckDB twin must precede the rows-only ones
+    (VERDICT r2 task 1 — 7 oracle-backed digests fell off the end of the
+    r2 window)."""
+    oracle, rows_only = {}, {}
     for m in ALL_MODULES:
-        for name, (builder, _sql) in m.QUERIES.items():
-            out[name] = builder
-    return out
+        for name, pair in m.QUERIES.items():
+            (oracle if pair[1] is not None else rows_only)[name] = pair
+    return {**oracle, **rows_only}
+
+
+def all_queries():
+    return {name: b for name, (b, _sql) in _registry().items()}
 
 
 def all_oracles():
+    return {name: sql for name, (_b, sql) in _registry().items()
+            if sql is not None}
+
+
+def all_diagnostics():
+    """Builders kept OUT of the driver window (superseded by digest twins,
+    or documented O(N²) diagnostics) but still bench-/pytest-runnable.
+    Same (builder, oracle_sql|None) shape as QUERIES."""
     out = {}
     for m in ALL_MODULES:
-        for name, (_builder, sql) in m.QUERIES.items():
-            if sql is not None:
-                out[name] = sql
+        out.update(getattr(m, "DIAGNOSTICS", {}))
     return out

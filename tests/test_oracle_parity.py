@@ -50,9 +50,10 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
 
 def _pairs():
     for m in ALL_MODULES:
-        for name, (builder, sql) in m.QUERIES.items():
-            if sql is not None:
-                yield pytest.param(builder, sql, id=name)
+        for reg in ("QUERIES", "DIAGNOSTICS"):
+            for name, (builder, sql) in getattr(m, reg, {}).items():
+                if sql is not None:
+                    yield pytest.param(builder, sql, id=name)
 
 
 @pytest.mark.parametrize("builder,sql", list(_pairs()))
@@ -73,7 +74,8 @@ def test_oracle_parity(spark, builder, sql):
 def test_rows_only_queries(spark):
     """Queries without oracles must still run and return rows."""
     for m in ALL_MODULES:
-        for name, (builder, sql) in m.QUERIES.items():
-            if sql is None:
-                df = builder(spark, SF_DIR)
-                assert df.count() > 0, name
+        for reg in ("QUERIES", "DIAGNOSTICS"):
+            for name, (builder, sql) in getattr(m, reg, {}).items():
+                if sql is None:
+                    df = builder(spark, SF_DIR)
+                    assert df.count() > 0, name

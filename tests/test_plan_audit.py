@@ -9,13 +9,18 @@ import re
 
 import pytest
 
-from docling_rag_spark.queries import all_queries
+from docling_rag_spark.queries import all_diagnostics, all_queries
 
 SF_DIR = "/root/testdata/sf0.01"
 
 
+def _builders():
+    return {**{n: b for n, (b, _s) in all_diagnostics().items()},
+            **all_queries()}
+
+
 def _plan(spark, name: str) -> str:
-    df = all_queries()[name](spark, SF_DIR)
+    df = _builders()[name](spark, SF_DIR)
     return df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode
         .fromString("formatted"))
@@ -64,7 +69,7 @@ def test_no_cartesian_products_in_suite(spark):
     """No query in the whole driver surface may plan an unconditioned
     cartesian product (the broadcast-of-one-row crossJoins in the vector
     queries are BroadcastNestedLoopJoin over a 1-row side — allowed)."""
-    for name in all_queries():
+    for name in _builders():
         if name in ("vec_neardup_cosine",):  # documented O(N^2) diagnostic
             continue
         plan = _plan(spark, name)
