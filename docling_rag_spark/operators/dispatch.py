@@ -13,6 +13,7 @@ from __future__ import annotations
 import re
 
 from docling_rag_spark.operators.blocks import Block
+from docling_rag_spark.operators.charset import detect_decode, looks_binary, sniff_bom
 from docling_rag_spark.operators.extract_docx import extract_docx, is_docx
 from docling_rag_spark.operators.extract_html import extract_html
 from docling_rag_spark.operators.extract_markdown import extract_markdown
@@ -25,21 +26,34 @@ _HTML_SNIFF_RE = re.compile(
     rb"^\s*(?:<!doctype\s+html|<html\b|<head\b|<body\b)", re.IGNORECASE
 )
 _HTML_TAG_RE = re.compile(rb"<(?:p|div|h[1-6]|article|section|table|a)\b", re.IGNORECASE)
+_HTML_SNIFF_STR_RE = re.compile(
+    r"^\s*(?:<!doctype\s+html|<html\b|<head\b|<body\b)", re.IGNORECASE)
+_HTML_TAG_STR_RE = re.compile(
+    r"<(?:p|div|h[1-6]|article|section|table|a)\b", re.IGNORECASE)
 
 
 def sniff_format(html: bytes | None, text: str | None) -> str:
-    """'pdf' | 'docx' | 'html' | 'markdown' | 'empty' | 'unsupported'."""
+    """'pdf' | 'docx' | 'html' | 'markdown' | 'empty' | 'unsupported'.
+
+    Structural magic (%PDF-, zip/docx, HTML tags) is ASCII in every
+    accepted text charset (cp1251/koi8-r/latin are ASCII supersets), so
+    byte-level sniffing is charset-safe; utf-16 payloads are BOM-detected
+    and sniffed post-decode."""
     if html:
         if html.startswith(b"%PDF-"):
             return "pdf"
         if is_docx(html):
             return "docx"
         head = html[:4096]
+        bom = sniff_bom(head)
+        if bom and bom[0].startswith("utf-16"):
+            dhead = head[bom[1]:].decode(bom[0], errors="replace")
+            if _HTML_SNIFF_STR_RE.search(dhead) or _HTML_TAG_STR_RE.search(dhead):
+                return "html"
+            return "markdown"
         if _HTML_SNIFF_RE.search(head) or _HTML_TAG_RE.search(head):
             return "html"
-        try:
-            head.decode("utf-8")
-        except UnicodeDecodeError:
+        if looks_binary(head):
             return "unsupported"
         return "markdown"
     if text and text.strip():
@@ -72,9 +86,12 @@ def parse_document(html: bytes | None, text: str | None
         elif fmt == "docx":
             blocks = extract_docx(html)  # type: ignore[arg-type]
         elif fmt == "html":
-            blocks = extract_html(html.decode("utf-8", errors="replace"))  # type: ignore[union-attr]
+            # charset-aware decode (BOM / declared charset / cp1251-koi8r
+            # heuristic): a cp1251 page must extract byte-identical to its
+            # utf-8 twin, never as clean-status mojibake
+            blocks = extract_html(detect_decode(html)[0])  # type: ignore[arg-type]
         elif fmt == "markdown":
-            src = html.decode("utf-8") if html else (text or "")
+            src = detect_decode(html)[0] if html else (text or "")
             blocks = extract_markdown(src)
         elif fmt == "empty":
             return fmt, [], "ok", None   # empty doc: 0 chunks, still counted ok

@@ -20,18 +20,78 @@ def _t(spark, sf_dir, name):
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+_PAGE_CLASS_EXT = {0: "md", 1: "md", 2: "md", 3: "html", 4: "html",
+                   5: "docx", 6: "pdf", 7: "pdf", 8: "pdf", 9: "html"}
+
+
+def _synth_payload(doc_id: int, text: str) -> tuple[bytes | None, str | None]:
+    """Deterministic (html_bytes, wet_text) for one driver document.
+
+    doc_id % 10 spreads the 500 sf0.01 docs over every extractor and
+    status tier the reference's parser matrix covers (reference
+    tests/core/test_parser.py:49-183): markdown, boilerplated HTML,
+    docx, digital PDF (ok), scan PDF + crawl text (degraded), broken
+    PDF (error), and a declared-cp1251 HTML charset variant."""
+    import hashlib
+    from html import escape
+
+    from docling_rag_spark.sources import fixtures as FX
+
+    cls = doc_id % 10
+    words = text.split()
+    paras = [" ".join(words[i:i + 30]) for i in range(0, len(words), 30)]
+    if cls <= 2:
+        return f"# Document {doc_id}\n\n{text}".encode(), None
+    if cls in (3, 4, 9):
+        body = "".join(f"<p>{escape(p)}</p>" for p in paras)
+        nav = '<nav><a href="/">Home</a> <a href="/a">Archive</a></nav>'
+        doc = ("<!DOCTYPE html><html><head>"
+               + ('<meta charset="windows-1251">' if cls == 9 else "")
+               + f"<title>t</title></head><body>{nav}<article>"
+               + f"<h1>Document {doc_id}</h1>{body}</article>"
+               + "<footer>Generated footer</footer></body></html>")
+        return doc.encode("cp1251" if cls == 9 else "utf-8"), None
+    if cls == 5:
+        from docling_rag_spark.operators.extract_docx import build_docx
+        items = [("heading", (1, f"Document {doc_id}"))]
+        items += [("text", p) for p in paras]
+        return build_docx(items), None
+    if cls == 6:
+        # ≥100 chars per page so the text-layer detector reads 'digital'
+        pages = [" ".join(words[i:i + 60]).ljust(100, ".")
+                 for i in range(0, len(words), 60)] or ["empty page".ljust(100, ".")]
+        return FX.build_text_pdf(pages, compress=bool(doc_id % 2)), None
+    if cls == 7:
+        return FX.build_scan_pdf(1 + doc_id % 2), text  # degraded via WET
+    # cls == 8: structurally broken PDF -> error tier (deterministic junk)
+    junk = hashlib.md5(str(doc_id).encode()).digest() * 4
+    return b"%PDF-1.4 " + junk, None
+
+
 def _as_pages(docs):
-    """documents(doc_id, text, lang, …) → pages(url, warc_ts, html, text, lang)."""
-    return docs.select(
-        F.concat(F.lit("https://docs.example/"), F.col("source"),
-                 F.lit("/"), F.col("doc_id").cast("string"),
-                 F.lit(".md")).alias("url"),
-        F.lit(None).cast("timestamp").alias("warc_ts"),
-        F.encode(F.concat(F.lit("# Document "),
-                          F.col("doc_id").cast("string"), F.lit("\n\n"),
-                          F.col("text")), "utf-8").alias("html"),
-        F.lit(None).cast("string").alias("text"),
-        "lang")
+    """documents(doc_id, text, lang, …) → pages(url, warc_ts, html, text,
+    lang): an Arrow-batched synthesizer spreading driver docs across every
+    format / charset / status tier (see ``_synth_payload``)."""
+    import pandas as pd
+
+    def synth(batches):
+        for pdf in batches:
+            htmls, wets, urls = [], [], []
+            for did, src, text in zip(pdf["doc_id"], pdf["source"],
+                                      pdf["text"]):
+                h, w = _synth_payload(int(did), text or "")
+                htmls.append(h)
+                wets.append(w)
+                urls.append(f"https://docs.example/{src}/{int(did)}."
+                            f"{_PAGE_CLASS_EXT[int(did) % 10]}")
+            yield pd.DataFrame({"url": urls, "warc_ts": pd.NaT,
+                                "html": htmls, "text": wets,
+                                "lang": pdf["lang"]})
+
+    return docs.select("doc_id", "source", "text", "lang").mapInPandas(
+        synth,
+        schema="url string, warc_ts timestamp, html binary, "
+               "text string, lang string")
 
 
 def extract_chunks(spark, sf_dir):

@@ -250,6 +250,42 @@ CYRILLIC_MARKDOWN = (
     "Поиск выполняется по косинусной близости векторов.\n"
 )
 
+# Russian HTML article: the same page is emitted in utf-8, windows-1251
+# (declared via <meta charset>) and koi8-r (NO declaration — exercises the
+# lowercase-Cyrillic heuristic). All three must extract byte-identical text.
+CYRILLIC_HTML_BODY = """<body>
+<nav><a href="/">Главная</a> <a href="/b">Каталог</a></nav>
+<article>
+<h1>Архитектура хранилища</h1>
+<p>Хранилище использует схему звезда с таблицами фактов и измерений,
+а поиск выполняется по косинусной близости векторов.</p>
+<h2>Дедупликация</h2>
+<p>Почти одинаковые документы находятся по совпадению сегментов отпечатка
+и проверяются точным расстоянием Хэмминга.</p>
+</article>
+<footer>Все права защищены</footer>
+</body></html>"""
+
+
+_IANA = {"utf-8": "utf-8", "cp1251": "windows-1251", "koi8_r": "koi8-r"}
+
+
+def cyrillic_html(encoding: str = "utf-8", declare: bool = False) -> bytes:
+    """The Russian article encoded as utf-8 / cp1251 / koi8-r, with or
+    without a ``<meta charset>`` declaration (undeclared non-utf8 pages
+    exercise the case heuristic)."""
+    meta = f'<meta charset="{_IANA[encoding]}">' if declare else ""
+    doc = ("<!DOCTYPE html>\n<html><head>" + meta +
+           "<title>Архив</title></head>\n" + CYRILLIC_HTML_BODY)
+    return doc.encode(encoding)
+
+
+def koi8_markdown() -> bytes:
+    """CYRILLIC_MARKDOWN in koi8-r with no declaration at all — only the
+    case heuristic can identify it."""
+    return CYRILLIC_MARKDOWN.replace("«", '"').replace("»", '"') \
+        .encode("koi8_r")
+
 
 def long_section_markdown(sentences: int = 160) -> str:
     """One heading + one paragraph far beyond the 512-token budget."""

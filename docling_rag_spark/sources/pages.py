@@ -66,6 +66,16 @@ FIXTURE_ROWS: list[tuple[str, bytes | None, str | None, str]] = [
      "It has two paragraphs so the chunker sees two blocks.", "en"),
     ("https://fixtures.example/docs/report.docx", FX.build_fixture_docx(),
      None, "en"),
+    # charset matrix: same Russian article in utf-8 (undeclared), declared
+    # cp1251, and undeclared koi8-r — all three must extract byte-identical
+    ("https://fixtures.example/docs/ru-utf8.html",
+     FX.cyrillic_html("utf-8"), None, "ru"),
+    ("https://fixtures.example/docs/ru-cp1251.html",
+     FX.cyrillic_html("cp1251", declare=True), None, "ru"),
+    ("https://fixtures.example/docs/ru-koi8.html",
+     FX.cyrillic_html("koi8_r"), None, "ru"),
+    ("https://fixtures.example/docs/ru-koi8.md",
+     FX.koi8_markdown(), None, "ru"),
 ]
 
 
@@ -169,8 +179,23 @@ def _row(doc_id: int, seed: int, heaviness: int = 1,
             " ".join(_sentence(rng2, _RU_VOCAB) for _ in range(rng2.randint(2, 4)))
             for _ in range(rng2.randint(1, 3))
         ]
-        html = ("# Документ\n\n" + "\n\n".join(paras) + "\n").encode()
-        name, ext = "ru", "md"
+        if cls < 93:
+            html = ("# Документ\n\n" + "\n\n".join(paras) + "\n").encode()
+            name, ext = "ru", "md"
+        elif cls == 93:  # declared windows-1251 page (charset sniffer path)
+            body = "".join(f"<p>{p}</p>" for p in paras)
+            html = ('<html><head><meta charset="windows-1251"></head><body>'
+                    "<h1>Документ</h1>" + body + "</body></html>"
+                    ).encode("cp1251")
+            name, ext = "ru1251", "html"
+        elif cls == 94:  # undeclared koi8-r page (case-heuristic path)
+            html = ("# Документ\n\n" + "\n\n".join(paras) + "\n"
+                    ).encode("koi8_r")
+            name, ext = "rukoi8", "md"
+        else:            # undeclared cp1251 page (case-heuristic path)
+            html = ("# Документ\n\n" + "\n\n".join(paras) + "\n"
+                    ).encode("cp1251")
+            name, ext = "ru1251", "md"
     else:
         text = _paragraph(rng, lo=4, hi=8)
         name, ext = "wet", "txt"

@@ -130,3 +130,68 @@ def test_stray_end_tags_and_mismatched_nesting():
     texts = _texts(extract_html(html))
     assert "Paragraph one is long enough to pass the threshold." in texts
     assert any("Paragraph two misnested" in t for t in texts)
+
+
+# --- charset handling (VERDICT r2 task 3) -----------------------------------
+
+def _parse_bytes(payload, text=None):
+    from docling_rag_spark.operators.dispatch import parse_document
+    return parse_document(payload, text)
+
+
+def test_cp1251_declared_extracts_byte_identical_to_utf8():
+    from docling_rag_spark.sources import fixtures as FX
+    fmt_u, blocks_u, st_u, _ = _parse_bytes(FX.cyrillic_html("utf-8"))
+    fmt_c, blocks_c, st_c, _ = _parse_bytes(
+        FX.cyrillic_html("cp1251", declare=True))
+    assert (fmt_u, st_u) == ("html", "ok") and (fmt_c, st_c) == ("html", "ok")
+    assert [(b.kind, b.text) for b in blocks_u] == \
+           [(b.kind, b.text) for b in blocks_c]
+    joined = "\n".join(b.text for b in blocks_c)
+    assert "Архитектура хранилища" in joined
+    assert "�" not in joined  # no replacement chars = no mojibake
+
+
+def test_koi8_undeclared_heuristic_extracts_byte_identical():
+    from docling_rag_spark.sources import fixtures as FX
+    _, blocks_u, _, _ = _parse_bytes(FX.cyrillic_html("utf-8"))
+    fmt_k, blocks_k, st_k, _ = _parse_bytes(FX.cyrillic_html("koi8_r"))
+    assert (fmt_k, st_k) == ("html", "ok")
+    assert [(b.kind, b.text) for b in blocks_k] == \
+           [(b.kind, b.text) for b in blocks_u]
+
+
+def test_koi8_markdown_undeclared():
+    from docling_rag_spark.sources import fixtures as FX
+    fmt, blocks, status, _ = _parse_bytes(FX.koi8_markdown())
+    assert (fmt, status) == ("markdown", "ok")
+    joined = "\n".join(b.text for b in blocks)
+    assert "звезда" in joined and "�" not in joined
+
+
+def test_utf16_bom_html():
+    doc = ("<!DOCTYPE html><html><body><h1>Шестнадцать бит</h1>"
+           "<p>Текст в кодировке utf-16 с маркером порядка байтов,"
+           " достаточно длинный для детектора плотности.</p></body></html>")
+    payload = b"\xff\xfe" + doc.encode("utf-16-le")
+    fmt, blocks, status, _ = _parse_bytes(payload)
+    assert (fmt, status) == ("html", "ok")
+    assert any("Шестнадцать бит" == b.text for b in blocks)
+
+
+def test_charset_detector_units():
+    from docling_rag_spark.operators.charset import (
+        declared_charset, detect_decode, looks_binary)
+    assert declared_charset(b'<meta charset="Windows-1251">') == "cp1251"
+    assert declared_charset(
+        b'<meta http-equiv="Content-Type" '
+        b'content="text/html; charset=koi8-r">') == "koi8_r"
+    assert declared_charset(b'<?xml version="1.0" encoding="UTF-8"?>') == "utf-8"
+    ru = "обычный русский текст в нижнем регистре про хранилище данных"
+    assert detect_decode(ru.encode("cp1251"))[1] == "cp1251"
+    assert detect_decode(ru.encode("koi8_r"))[1] == "koi8_r"
+    assert detect_decode(ru.encode("utf-8"))[1] == "utf-8"
+    text, codec = detect_decode("café naïve".encode("cp1252"))
+    assert codec == "cp1252" and "café" in text
+    assert looks_binary(bytes(range(32)) * 8)
+    assert not looks_binary("просто текст".encode("cp1251"))
