@@ -128,25 +128,23 @@ WHERE floor({_dot_sql('a.embedding', 'b.embedding')}
 # engine would compute — test_oracle_parity pins the formula) and inlined as
 # literals; deriving them inside the row expression re-ran 512 md5s per row.
 
-def _plane_value(j: int, i: int) -> float:
-    import hashlib
-    h = int(hashlib.md5(f"{j}_{i}".encode()).hexdigest()[:15], 16)
-    return ((h % 1001) - 500) / 500.0
+from docling_rag_spark.plans.ann_index import centroid_matrix, plane_matrix
+
+_PLANES = plane_matrix(64, _NUM_PLANES)
 
 
-_PLANES = [[_plane_value(j, i) for i in range(64)]
-           for j in range(_NUM_PLANES)]
-
-
-def _bucket(emb_col):
+def _bucket(emb_col, planes_rows: list[list[float]] | None = None):
     """Sign-LSH bucket from a constant plane-matrix literal + HOFs: the
     8x64 inline expression tree compiled for seconds per query in
     whole-stage codegen; the literal constant-folds and the lambdas keep
     the tree tiny. Left-fold dot accumulation matches the generated SQL's
     left-assoc sum bit-for-bit (IEEE multiply is commutative, so the
-    zip_with term order is safe); the bit sum is integer, order-free."""
+    zip_with term order is safe); the bit sum is integer, order-free.
+    ``planes_rows`` lets the index builder pass a matrix matching the
+    table's embedding dim (default: the 64-dim oracle-table matrix)."""
     planes = F.array(*[F.array(*[F.lit(v) for v in row])
-                       for row in _PLANES])
+                       for row in (planes_rows if planes_rows is not None
+                                   else _PLANES)])
     dots = F.transform(
         planes,
         lambda p: F.aggregate(
@@ -172,21 +170,39 @@ def _bucket_sql(e: str) -> str:
     return "(" + " + ".join(parts) + ")::BIGINT"
 
 
-def vec_lsh_bucketed(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings").select(
-        F.col("vec_id").cast("bigint").alias("vec_id"), "embedding",
-        _bucket(F.col("embedding")).alias("bucket"))
-    q = (emb.filter(F.col("vec_id") == _QUERY_VEC_ID)
-         .select(F.col("embedding").alias("q_emb"),
-                 F.col("bucket").alias("q_bucket")))
-    cos = F.floor(_dot(F.col("embedding"), F.col("q_emb"))
-                  / (_norm(F.col("embedding")) * _norm(F.col("q_emb")))
+def _probe_scan(spark, sf_dir, table: str, key: str, probes: list[int]):
+    """Partition-pruned scan of the materialized ANN index: only the probe
+    partitions' files are read (PartitionFilters in the plan; inputFiles()
+    shrinks to the probe dirs — plan-audited)."""
+    from docling_rag_spark.plans import ann_index as AI
+    idx = AI.ensure_index(spark, sf_dir)
+    df = spark.read.parquet(f"{idx}/{table}")
+    return df.filter(F.col(key).isin([int(p) for p in probes]))
+
+
+def _scored_topk(emb, q_emb: list[float], key: str, key_type: str):
+    """Exact cosine against the literal query vector within the pruned
+    candidate set. The literal array reproduces the old broadcast-row
+    arithmetic bit-for-bit (same zip_with term order, same left fold)."""
+    qlit = F.array(*[F.lit(v) for v in q_emb])
+    cos = F.floor(_dot(F.col("embedding"), qlit)
+                  / (_norm(F.col("embedding")) * _norm(qlit))
                   * 1000000.0).cast("bigint")
-    return (emb.join(F.broadcast(q), emb.bucket == q.q_bucket)
-            .filter(F.col("vec_id") != _QUERY_VEC_ID)
-            .select("vec_id", F.col("bucket").cast("bigint").alias("bucket"),
+    return (emb.filter(F.col("vec_id") != _QUERY_VEC_ID)
+            .select("vec_id", F.col(key).cast(key_type).alias(key),
                     cos.alias("score_e6"))
             .orderBy(F.desc("score_e6"), F.asc("vec_id")).limit(_TOPK))
+
+
+def vec_lsh_bucketed(spark, sf_dir):
+    """Single-partition ANN: the query's bucket is computed driver-side
+    (the query vector is a parameter) and the scan reads exactly one of
+    256 bucket partitions of the materialized index."""
+    from docling_rag_spark.plans import ann_index as AI
+    q_emb = AI.query_vector(sf_dir, _QUERY_VEC_ID)
+    q_bucket = AI.py_bucket(q_emb)
+    emb = _probe_scan(spark, sf_dir, "lsh", "bucket", [q_bucket])
+    return _scored_topk(emb, q_emb, "bucket", "bigint")
 
 
 LSH_SQL = f"""
@@ -262,25 +278,14 @@ WHERE floor({_dot_sql('a.embedding', 'b.embedding')}
 
 def vec_lsh_multiprobe(spark, sf_dir):
     """Multi-probe LSH top-k: candidates come from the query's bucket AND
-    every bucket at hamming distance 1 (9 of 256 buckets) — the standard
-    recall fix for sign-LSH's hard bucket boundaries. Still bucket-pruned:
-    at scale the probe set is 9 partition lookups, not a scan; the
-    bit_count test here is against the single broadcast query row."""
-    emb = _t(spark, sf_dir, "embeddings").select(
-        F.col("vec_id").cast("bigint").alias("vec_id"), "embedding",
-        _bucket(F.col("embedding")).alias("bucket"))
-    q = (emb.filter(F.col("vec_id") == _QUERY_VEC_ID)
-         .select(F.col("embedding").alias("q_emb"),
-                 F.col("bucket").alias("q_bucket")))
-    cos = F.floor(_dot(F.col("embedding"), F.col("q_emb"))
-                  / (_norm(F.col("embedding")) * _norm(F.col("q_emb")))
-                  * 1000000.0).cast("bigint")
-    probe = F.bit_count(F.col("bucket").bitwiseXOR(F.col("q_bucket"))) <= 1
-    return (emb.crossJoin(F.broadcast(q))
-            .filter(probe & (F.col("vec_id") != _QUERY_VEC_ID))
-            .select("vec_id", F.col("bucket").cast("bigint").alias("bucket"),
-                    cos.alias("score_e6"))
-            .orderBy(F.desc("score_e6"), F.asc("vec_id")).limit(_TOPK))
+    every bucket at hamming distance 1 — the standard recall fix for
+    sign-LSH's hard bucket boundaries. The 9-bucket probe set is computed
+    driver-side and the scan reads exactly those 9 of 256 partitions."""
+    from docling_rag_spark.plans import ann_index as AI
+    q_emb = AI.query_vector(sf_dir, _QUERY_VEC_ID)
+    probes = AI.multiprobe_buckets(AI.py_bucket(q_emb), _NUM_PLANES)
+    emb = _probe_scan(spark, sf_dir, "lsh", "bucket", probes)
+    return _scored_topk(emb, q_emb, "bucket", "bigint")
 
 
 MULTIPROBE_SQL = f"""
@@ -316,17 +321,10 @@ ORDER BY score_e6 DESC, vec_id ASC LIMIT {_TOPK}
 _IVF_K = 16
 
 
-def _centroid_value(c: int, i: int) -> float:
-    import hashlib
-    h = int(hashlib.md5(f"ivf_{c}_{i}".encode()).hexdigest()[:15], 16)
-    return ((h % 1001) - 500) / 500.0
+_CENTROIDS = centroid_matrix(64, _IVF_K)
 
 
-_CENTROIDS = [[_centroid_value(c, i) for i in range(64)]
-              for c in range(_IVF_K)]
-
-
-def _ivf_cell(emb_col):
+def _ivf_cell(emb_col, cents_rows: list[list[float]] | None = None):
     """argmax_c dot(emb, centroid_c), ties to the lower cell id: the
     centroid matrix is a constant nested-array literal and the K dot
     products come from transform/zip_with/aggregate — a tiny expression
@@ -335,7 +333,8 @@ def _ivf_cell(emb_col):
     accumulation matches the SQL mirror's left-assoc sum bit-for-bit;
     IEEE multiplication is commutative so term order is x*y vs y*x safe."""
     cents = F.array(*[F.array(*[F.lit(v) for v in row])
-                      for row in _CENTROIDS])
+                      for row in (cents_rows if cents_rows is not None
+                                  else _CENTROIDS)])
     dots = F.transform(
         cents,
         lambda c: F.aggregate(
@@ -357,24 +356,15 @@ def _ivf_cell_sql(e: str) -> str:
 
 
 def vec_ivf_topk(spark, sf_dir):
-    """IVF-style ANN: scan only the query's coarse cell, exact cosine
-    within it. The cell histogram (vec_ivf_cells) is the partition-pruning
-    evidence; at 10^9 vectors each cell is a partition and this query
-    touches one of them."""
-    emb = _t(spark, sf_dir, "embeddings").select(
-        F.col("vec_id").cast("bigint").alias("vec_id"), "embedding",
-        _ivf_cell(F.col("embedding")).alias("cell"))
-    q = (emb.filter(F.col("vec_id") == _QUERY_VEC_ID)
-         .select(F.col("embedding").alias("q_emb"),
-                 F.col("cell").alias("q_cell")))
-    cos = F.floor(_dot(F.col("embedding"), F.col("q_emb"))
-                  / (_norm(F.col("embedding")) * _norm(F.col("q_emb")))
-                  * 1000000.0).cast("bigint")
-    return (emb.join(F.broadcast(q), emb.cell == q.q_cell)
-            .filter(F.col("vec_id") != _QUERY_VEC_ID)
-            .select("vec_id", F.col("cell").cast("int").alias("cell"),
-                    cos.alias("score_e6"))
-            .orderBy(F.desc("score_e6"), F.asc("vec_id")).limit(_TOPK))
+    """IVF-style ANN: the query's coarse cell is computed driver-side and
+    the scan reads exactly one of 16 cell partitions of the materialized
+    index; exact cosine within it. The cell histogram (vec_ivf_cells) is
+    the partition-balance evidence."""
+    from docling_rag_spark.plans import ann_index as AI
+    q_emb = AI.query_vector(sf_dir, _QUERY_VEC_ID)
+    q_cell = AI.py_cell(q_emb)
+    emb = _probe_scan(spark, sf_dir, "ivf", "cell", [q_cell])
+    return _scored_topk(emb, q_emb, "cell", "int")
 
 
 IVF_TOPK_SQL = f"""
@@ -393,6 +383,107 @@ SELECT e.vec_id, e.cell::INT AS cell,
 FROM cells e JOIN q ON e.cell = q.q_cell
 WHERE e.vec_id != {_QUERY_VEC_ID}
 ORDER BY score_e6 DESC, vec_id ASC LIMIT {_TOPK}
+"""
+
+
+# --- ANN recall evidence -------------------------------------------------------
+
+_RECALL_PROBES = (0, 1, 2, 3, 4, 5, 6, 7)
+
+
+def vec_recall_at_k(spark, sf_dir):
+    """Recall@10 of the pruned ANN paths vs exact search, per probe query —
+    the quality metric the reference's HNSW index trades exactness for
+    (reference storage/db_schema.py:36-37). For each of 8 fixed probe
+    vectors: |exact-top10 ∩ multiprobe-top10| and |exact-top10 ∩
+    ivf-top10| as integers 0..10. Offline evaluation job: a deliberate
+    full scan (recall can only be measured against exact results); the
+    serving paths stay partition-pruned."""
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("bigint").alias("vec_id"), "embedding",
+        _bucket(F.col("embedding")).alias("bucket"),
+        _ivf_cell(F.col("embedding")).alias("cell"))
+    q = (emb.filter(F.col("vec_id").isin(list(_RECALL_PROBES)))
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("q_emb"),
+                 F.col("bucket").alias("q_bucket"),
+                 F.col("cell").alias("q_cell")))
+    cos = F.floor(_dot(F.col("embedding"), F.col("q_emb"))
+                  / (_norm(F.col("embedding")) * _norm(F.col("q_emb")))
+                  * 1000000.0).cast("bigint")
+    scored = (emb.crossJoin(F.broadcast(q))
+              .filter(F.col("vec_id") != F.col("query_id"))
+              .select("query_id", "vec_id", "bucket", "cell",
+                      "q_bucket", "q_cell", cos.alias("score_e6")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_e6"),
+                                               F.asc("vec_id"))
+
+    def top10(df):
+        return (df.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= _TOPK)
+                .select("query_id", "vec_id"))
+
+    exact = top10(scored)
+    mp = top10(scored.filter(
+        F.bit_count(F.col("bucket").bitwiseXOR(F.col("q_bucket"))) <= 1))
+    ivf = top10(scored.filter(F.col("cell") == F.col("q_cell")))
+    return (exact
+            .join(mp.withColumn("in_mp", F.lit(1)),
+                  ["query_id", "vec_id"], "left")
+            .join(ivf.withColumn("in_ivf", F.lit(1)),
+                  ["query_id", "vec_id"], "left")
+            .groupBy("query_id")
+            .agg(F.sum(F.coalesce(F.col("in_mp"), F.lit(0)))
+                  .cast("bigint").alias("recall_multiprobe_at_10"),
+                 F.sum(F.coalesce(F.col("in_ivf"), F.lit(0)))
+                  .cast("bigint").alias("recall_ivf_at_10")))
+
+
+_RECALL_PROBES_SQL = ", ".join(str(p) for p in _RECALL_PROBES)
+
+RECALL_SQL = f"""
+WITH emb AS (
+  SELECT vec_id::BIGINT AS vec_id, embedding,
+         {_bucket_sql('embedding')} AS bucket,
+         {_ivf_cell_sql('embedding')} AS cell
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb,
+         bucket AS q_bucket, cell AS q_cell
+  FROM emb WHERE vec_id IN ({_RECALL_PROBES_SQL})
+), scored AS (
+  SELECT q.query_id, e.vec_id, e.bucket, e.cell, q.q_bucket, q.q_cell,
+         floor({_dot_sql('e.embedding', 'q.q_emb')}
+               / ({_norm_sql('e.embedding')} * {_norm_sql('q.q_emb')})
+               * 1000000.0)::BIGINT AS score_e6
+  FROM emb e CROSS JOIN q
+  WHERE e.vec_id != q.query_id
+), exact AS (
+  SELECT query_id, vec_id FROM scored
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY score_e6 DESC, vec_id ASC) <= {_TOPK}
+), mp AS (
+  SELECT query_id, vec_id FROM scored
+  WHERE bit_count(xor(bucket, q_bucket)) <= 1
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY score_e6 DESC, vec_id ASC) <= {_TOPK}
+), ivf AS (
+  SELECT query_id, vec_id FROM scored
+  WHERE cell = q_cell
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY score_e6 DESC, vec_id ASC) <= {_TOPK}
+)
+SELECT e.query_id,
+       sum(CASE WHEN m.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS recall_multiprobe_at_10,
+       sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS recall_ivf_at_10
+FROM exact e
+LEFT JOIN mp m USING (query_id, vec_id)
+LEFT JOIN ivf i USING (query_id, vec_id)
+GROUP BY e.query_id
 """
 
 
@@ -419,6 +510,7 @@ QUERIES = {
     "vec_lsh_multiprobe": (vec_lsh_multiprobe, MULTIPROBE_SQL),
     "vec_ivf_topk": (vec_ivf_topk, IVF_TOPK_SQL),
     "vec_ivf_cells": (vec_ivf_cells, IVF_CELLS_SQL),
+    "vec_recall_at_k": (vec_recall_at_k, RECALL_SQL),
 }
 
 # Documented O(N²) all-pairs diagnostic (vec_neardup_lsh is the production

@@ -24,6 +24,10 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--warehouse", required=True)
     ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--ann-index", action="store_true",
+                    help="also materialize <warehouse>/ann/{lsh,ivf} "
+                         "partitioned by LSH bucket / IVF cell so searches "
+                         "read only their probe partitions")
     ap.add_argument("--cores", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     args = ap.parse_args()
@@ -44,9 +48,20 @@ def main() -> int:
      .write.partitionBy("bucket").mode("overwrite")
      .parquet(os.path.join(args.warehouse, "embeddings")))
     n = spark.read.parquet(os.path.join(args.warehouse, "embeddings")).count()
+    out = {"embedded_chunks": n}
+    if args.ann_index:
+        from docling_rag_spark.plans.ann_index import build_ann_index
+        emb = (spark.read.parquet(os.path.join(args.warehouse, "embeddings"))
+               # warehouse rows are (url, chunk_id, embedding); the index
+               # contract is (vec_id, label, embedding) — derive a stable
+               # vec_id from the natural key
+               .withColumn("vec_id", F.xxhash64("url", "chunk_id"))
+               .withColumn("label", F.lit(0)))
+        build_ann_index(spark, emb, os.path.join(args.warehouse, "ann"))
+        out["ann_index"] = os.path.join(args.warehouse, "ann")
     dt = time.time() - t0
-    print(json.dumps({"embedded_chunks": n, "elapsed_sec": round(dt, 2),
-                      "chunks_per_sec": round(n / dt, 2)}))
+    out.update(elapsed_sec=round(dt, 2), chunks_per_sec=round(n / dt, 2))
+    print(json.dumps(out))
     spark.stop()
     return 0
 

@@ -86,3 +86,34 @@ def test_exchange_count_bounded(spark):
         plan = _plan(spark, q)
         n = len(re.findall(r"\bExchange\b", plan.split("== Physical Plan ==")[-1].split("(1) ")[0]))
         assert n <= max_exchanges, f"{q}: {n} exchanges"
+
+
+def test_ann_index_partition_pruning(spark):
+    """The materialized ANN index must be read partition-pruned: the scan
+    touches <=9 of 256 LSH bucket dirs (multiprobe), exactly 1 for the
+    single-bucket path, and exactly 1 of 16 IVF cell dirs. Checked both
+    physically (inputFiles shrinks to probe dirs) and in the plan
+    (PartitionFilters on the partition key)."""
+    import os
+    import re as _re
+
+    cases = (("vec_lsh_bucketed", "bucket", 1, 256),
+             ("vec_lsh_multiprobe", "bucket", 9, 256),
+             ("vec_ivf_topk", "cell", 1, 16))
+    for name, key, max_parts, total_parts in cases:
+        df = all_queries()[name](spark, SF_DIR)
+        qe = df._jdf.queryExecution()
+        # physical: the executed scan's selected partition count
+        leaves = qe.executedPlan().collectLeaves()
+        scans = [leaves.apply(i) for i in range(leaves.length())
+                 if "parquet" in leaves.apply(i).nodeName().lower()]
+        assert scans, f"{name}: no parquet scan leaf"
+        n_sel = scans[0].selectedPartitions().partitionCount()
+        assert 0 < n_sel <= max_parts, \
+            f"{name}: scan selected {n_sel} partitions (cap {max_parts} " \
+            f"of {total_parts})"
+        # plan: Catalyst recorded a partition filter on the key
+        plan = qe.explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted"))
+        assert _re.search(rf"PartitionFilters: \[.*{key}", plan), name
