@@ -53,6 +53,77 @@ def bucket_dir(table_dir: str, bucket: int) -> str:
     return os.path.join(table_dir, f"bucket={bucket}")
 
 
+class CommitConflict(RuntimeError):
+    """Another writer committed a NEWER input snapshot for these buckets
+    after this job read its base state — completing the stale commit would
+    silently roll those buckets back (the last-write-wins hazard ADVICE r2
+    flagged). The Iceberg analog: optimistic-concurrency commit validation
+    failing because the table's current snapshot moved."""
+
+    def __init__(self, buckets: list[int], snapshot_id: str):
+        self.buckets = buckets
+        super().__init__(
+            f"buckets {buckets} were committed by a newer snapshot after "
+            f"this job (snapshot {snapshot_id!r}) started; rerun to "
+            "rebase on the current table state")
+
+
+class commit_lock:
+    """Filesystem mutex serializing the check-then-commit critical section
+    across processes (Iceberg gets this from the catalog's atomic
+    swap; a local FS needs an explicit lease). O_CREAT|O_EXCL acquisition;
+    a lock older than ``stale_sec`` is presumed abandoned (crashed writer)
+    and stolen."""
+
+    def __init__(self, out_dir: str, timeout: float = 30.0,
+                 stale_sec: float = 120.0):
+        os.makedirs(out_dir, exist_ok=True)
+        self.path = os.path.join(out_dir, "_commit.lock")
+        self.timeout = timeout
+        self.stale_sec = stale_sec
+
+    def __enter__(self):
+        deadline = time.time() + self.timeout
+        while True:
+            try:
+                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, f"{os.getpid()} {time.time()}".encode())
+                os.close(fd)
+                return self
+            except FileExistsError:
+                try:
+                    age = time.time() - os.stat(self.path).st_mtime
+                    if age > self.stale_sec:
+                        os.unlink(self.path)  # abandoned by a crashed writer
+                        continue
+                except FileNotFoundError:
+                    continue  # released between the failed open and stat
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"commit lock {self.path} held for {age:.0f}s")
+                time.sleep(0.05)
+
+    def __exit__(self, *exc):
+        try:
+            os.unlink(self.path)
+        except FileNotFoundError:
+            pass
+
+
+def conflicting_buckets(out_dir: str, snapshot_id: str, buckets: list[int],
+                        base_ts: float) -> list[int]:
+    """Buckets a DIFFERENT input snapshot committed after ``base_ts`` (the
+    moment this job read its base state). A concurrent committer of the
+    SAME snapshot is benign — idempotent duplicate work writing identical
+    content — so it does not conflict."""
+    want = set(buckets)
+    return sorted({
+        r["bucket"] for r in read_lineage(out_dir)
+        if r["bucket"] in want
+        and r["input_snapshot_id"] != snapshot_id
+        and r["finished_at"] >= base_ts})
+
+
 def commit_buckets(staging_table_dir: str, final_table_dir: str,
                    buckets: list[int]) -> None:
     """Move staged bucket directories into the table, replacing old ones."""

@@ -206,26 +206,37 @@ def run_extraction(
             print(f"[job] batch={batch_idx} udf+stage={_t1 - _t0:.1f}s "
                   f"chunks={_t2 - _t1:.1f}s extracted={_t3 - _t2:.1f}s "
                   f"stats={_t4 - _t3:.1f}s", file=sys.stderr)
-        wh.commit_buckets(os.path.join(staging, "chunks"),
-                          os.path.join(out_dir, "chunks"), batch)
-        wh.commit_buckets(os.path.join(staging, "extracted"),
-                          os.path.join(out_dir, "extracted"), batch)
-        shutil.rmtree(staging, ignore_errors=True)
+        # Check-then-commit under the warehouse commit lock (the Iceberg
+        # optimistic-concurrency validation): if a NEWER snapshot committed
+        # any of these buckets while this batch was computing, completing
+        # the commit would silently roll them back — fail instead; a rerun
+        # rebases on current lineage (same-snapshot concurrent commits are
+        # idempotent duplicates and pass through).
+        with wh.commit_lock(out_dir):
+            conflicts = wh.conflicting_buckets(out_dir, snapshot_id, batch,
+                                               started)
+            if conflicts:
+                raise wh.CommitConflict(conflicts, snapshot_id)
+            wh.commit_buckets(os.path.join(staging, "chunks"),
+                              os.path.join(out_dir, "chunks"), batch)
+            wh.commit_buckets(os.path.join(staging, "extracted"),
+                              os.path.join(out_dir, "extracted"), batch)
 
-        finished = wh.now()
-        lineage_rows = []
-        for b in batch:
-            s = stats.get(b)
-            lineage_rows.append({
-                "input_snapshot_id": snapshot_id,
-                "bucket": b,
-                "doc_count": int(s["docs"]) if s else 0,
-                "chunk_count": int(s["chunks"] or 0) if s else 0,
-                "failure_count": int(s["failures"]) if s else 0,
-                "started_at": started,
-                "finished_at": finished,
-            })
-        wh.append_lineage(out_dir, snapshot_id, lineage_rows)
+            finished = wh.now()
+            lineage_rows = []
+            for b in batch:
+                s = stats.get(b)
+                lineage_rows.append({
+                    "input_snapshot_id": snapshot_id,
+                    "bucket": b,
+                    "doc_count": int(s["docs"]) if s else 0,
+                    "chunk_count": int(s["chunks"] or 0) if s else 0,
+                    "failure_count": int(s["failures"]) if s else 0,
+                    "started_at": started,
+                    "finished_at": finished,
+                })
+            wh.append_lineage(out_dir, snapshot_id, lineage_rows)
+        shutil.rmtree(staging, ignore_errors=True)
 
         report.buckets_done += len(batch)
         report.batches.append(batch)
@@ -300,7 +311,8 @@ def delete_urls(spark: SparkSession, out_dir: str, urls: list[str],
             sdir = wh.bucket_dir(stage_tbl, b)
             if not os.path.isdir(sdir):
                 os.makedirs(sdir, exist_ok=True)
-        wh.commit_buckets(stage_tbl, table_dir, buckets)
+        with wh.commit_lock(out_dir):
+            wh.commit_buckets(stage_tbl, table_dir, buckets)
         after_dirs = [wh.bucket_dir(table_dir, b) for b in buckets]
         after_dirs = [d for d in after_dirs
                       if os.path.isdir(d) and os.listdir(d)]

@@ -165,6 +165,7 @@ def upsert_registry_table(spark, out_dir: str, updates: DataFrame,
         sdir = wh.bucket_dir(staging, b)
         if not os.path.isdir(sdir):
             os.makedirs(sdir, exist_ok=True)
-    wh.commit_buckets(staging, table_dir, buckets)
+    with wh.commit_lock(out_dir):
+        wh.commit_buckets(staging, table_dir, buckets)
     shutil.rmtree(staging, ignore_errors=True)
     return {"buckets_rewritten": buckets}
