@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "vec_lsh_bucketed",
     "vec_lsh_multiprobe",
     "vec_ivf_topk",
+    "vec_recall_at_k",
     "extract_chunks",
 ]
 
@@ -91,6 +92,38 @@ def main() -> int:
         "n_docs": n_docs,
         "docs_per_sec": round(n_docs / extract_secs, 2) if extract_secs else None,
     }
+
+    # sf1 pass (VERDICT r2 task 8): per-query timings at 10x data in the
+    # SAME JSON line, so scale regressions are machine-diffable round to
+    # round. Runs only when the derived sf1 set exists (scripts/make_sf1.py)
+    # and isn't disabled via SPARK_GRAFT_BENCH_SF1=0.
+    sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR",
+                             os.path.join(os.path.dirname(
+                                 os.path.abspath(__file__)),
+                                 ".benchdata", "sf1"))
+    if (os.environ.get("SPARK_GRAFT_BENCH_SF1", "1") != "0"
+            and os.path.isdir(sf1_dir)):
+        t_sf1: dict[str, float] = {}
+        sf1_extract = None
+        for name in BENCH_QUERIES:
+            df = qs[name](spark, sf1_dir)
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            dt = round(time.time() - t0, 3)
+            t_sf1[name] = dt
+            if name == "extract_chunks":
+                sf1_extract = dt
+        n1 = spark.read.parquet(f"{sf1_dir}/documents.parquet").count()
+        out["sf1"] = {
+            "value": round(sum(t_sf1.values()), 3),
+            "queries": t_sf1,
+            "n_docs": n1,
+            "docs_per_sec": (round(n1 / sf1_extract, 2)
+                             if sf1_extract else None),
+            "scale_factor_vs_base": round(
+                sum(t_sf1.values()) / total, 2) if total else None,
+        }
+
     print(json.dumps(out))
     spark.stop()
     return 0

@@ -3,7 +3,10 @@
 Endpoint surface mirrors the reference's FastAPI app (api/app.py:198-333):
 
   GET    /health                          liveness
-  GET    /search?q=..&k=..&url_prefix=..  top-k retrieval (§3.2)
+  GET    /search?q=..&k=..&url_prefix=..&mode=auto|exact|ann
+                                          top-k retrieval (§3.2; mode=ann
+                                          scans only the 9 multiprobe
+                                          partitions of <wh>/ann/lsh)
   GET    /documents?limit=..&url_prefix=  catalog listing
   GET    /status                          lineage/job rollup per snapshot
   GET    /jobs            + /jobs/<id>    async extraction job states
@@ -62,7 +65,8 @@ def make_server(spark: SparkSession, warehouse: str,
                     self._json({"results": service.search_warehouse(
                         spark, warehouse, q["q"][0],
                         top_k=int(q.get("k", ["5"])[0]),
-                        url_prefix=q.get("url_prefix", [None])[0])})
+                        url_prefix=q.get("url_prefix", [None])[0],
+                        mode=q.get("mode", ["auto"])[0])})
                 elif u.path == "/documents":
                     self._json({"documents": service.documents_payload(
                         spark, warehouse,

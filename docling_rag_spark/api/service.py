@@ -27,16 +27,38 @@ from docling_rag_spark.io import warehouse as wh
 
 def search_warehouse(spark: SparkSession, warehouse: str, query: str,
                      top_k: int = 5, url_prefix: str | None = None,
-                     log: bool = True) -> list[dict]:
+                     log: bool = True, mode: str = "auto") -> list[dict]:
     """§3.2 search lifecycle: embed query -> top-k -> decorate (J1) ->
-    heading path (F3) + 300-char preview (F4) -> search log (S8)."""
-    from docling_rag_spark.operators.embed import embed_chunks
+    heading path (F3) + 300-char preview (F4) -> search log (S8).
+
+    ``mode``: 'exact' scans the full embeddings table
+    (TakeOrderedAndProject); 'ann' requires the materialized
+    <warehouse>/ann/lsh index (run_embed.py --ann-index) and scans only
+    the 9 multiprobe bucket partitions — the reference's HNSW
+    approximate-speed trade-off (storage/db_schema.py:36-37), here as
+    Iceberg-style partition pruning; 'auto' uses the index when present."""
+    from docling_rag_spark.operators.embed import embed_chunks, embed_texts
     from docling_rag_spark.operators.search import log_search, search_chunks
+    from docling_rag_spark.plans import ann_index as AI
 
     chunks = spark.read.parquet(os.path.join(warehouse, "chunks"))
     emb_path = os.path.join(warehouse, "embeddings")
-    emb = (spark.read.parquet(emb_path) if os.path.isdir(emb_path)
-           else embed_chunks(chunks))
+    ann_lsh = os.path.join(warehouse, "ann", "lsh")
+    use_ann = (mode == "ann" or (mode == "auto" and os.path.isdir(ann_lsh)))
+    if use_ann:
+        if not os.path.isdir(ann_lsh):
+            raise FileNotFoundError(
+                f"mode='ann' but no index at {ann_lsh}; run "
+                "scripts/run_embed.py --ann-index first")
+        q_vec = [float(v) for v in embed_texts([query])[0]]
+        probes = AI.multiprobe_buckets(AI.py_bucket(q_vec))
+        emb = (spark.read.parquet(ann_lsh)
+               .filter(F.col("bucket").isin(probes))
+               .select("url", "chunk_id", "embedding"))
+    elif os.path.isdir(emb_path):
+        emb = spark.read.parquet(emb_path)
+    else:
+        emb = embed_chunks(chunks)
     allowed = None
     if url_prefix is not None:
         allowed = (chunks.select("url").distinct()

@@ -102,21 +102,21 @@ def query_vector(sf_dir: str, vec_id: int):
     return [float(v.as_py()) for v in t["embedding"][0].values]
 
 
-def build_ann_index(spark, embeddings_df, out_dir: str) -> None:
-    """Write the two physically-partitioned index tables. One map-only job
-    each (no shuffle: partitionBy on write splits files per task); at
-    10^9+ vectors add .repartition(n, 'bucket') first so each partition is
-    written by one task."""
+def build_ann_index(spark, embeddings_df, out_dir: str,
+                    id_cols: tuple[str, ...] = ("vec_id", "label")) -> None:
+    """Write the two physically-partitioned index tables, carrying
+    ``id_cols`` alongside the vectors (the serving tier indexes by natural
+    key (url, chunk_id); the oracle tables by (vec_id, label)). One
+    map-only job each (no shuffle: partitionBy on write splits files per
+    task); at 10^9+ vectors add .repartition(n, 'bucket') first so each
+    partition is written by one task."""
     from pyspark.sql import functions as F
 
     from docling_rag_spark.queries.vectors import _bucket, _ivf_cell
 
     first = embeddings_df.select(F.size("embedding").alias("d")).first()
     dim = int(first["d"]) if first else 0
-    base = embeddings_df.select(
-        F.col("vec_id").cast("bigint").alias("vec_id"),
-        F.col("label").cast("int").alias("label"),
-        "embedding")
+    base = embeddings_df.select(*id_cols, "embedding")
     (base.withColumn("bucket",
                      _bucket(F.col("embedding"), plane_matrix(dim)))
      .write.partitionBy("bucket").mode("overwrite")

@@ -51,13 +51,9 @@ def main() -> int:
     out = {"embedded_chunks": n}
     if args.ann_index:
         from docling_rag_spark.plans.ann_index import build_ann_index
-        emb = (spark.read.parquet(os.path.join(args.warehouse, "embeddings"))
-               # warehouse rows are (url, chunk_id, embedding); the index
-               # contract is (vec_id, label, embedding) — derive a stable
-               # vec_id from the natural key
-               .withColumn("vec_id", F.xxhash64("url", "chunk_id"))
-               .withColumn("label", F.lit(0)))
-        build_ann_index(spark, emb, os.path.join(args.warehouse, "ann"))
+        emb = spark.read.parquet(os.path.join(args.warehouse, "embeddings"))
+        build_ann_index(spark, emb, os.path.join(args.warehouse, "ann"),
+                        id_cols=("url", "chunk_id"))
         out["ann_index"] = os.path.join(args.warehouse, "ann")
     dt = time.time() - t0
     out.update(elapsed_sec=round(dt, 2), chunks_per_sec=round(n / dt, 2))

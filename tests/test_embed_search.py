@@ -135,3 +135,57 @@ def test_semantic_quality_end_to_end(spark, chunk_emb):
                          top_k=1).collect()
     assert rows[0]["url"] == "u://a" and rows[0]["chunk_id"] == 0
     assert rows[0]["score"] > 0.3
+
+
+def test_ann_serving_path_matches_exact_on_probed_buckets(spark, tmp_path):
+    """search_warehouse(mode='ann') over the materialized warehouse index:
+    pruned to the 9 multiprobe partitions, exact cosine within them; the
+    top hit must agree with exact search whenever the exact winner lives
+    in a probed bucket (on this tiny corpus it does)."""
+    import os
+
+    from docling_rag_spark.api import service
+    from docling_rag_spark.plans import ann_index as AI
+    from docling_rag_spark.plans.job import bucket_of, run_extraction
+    from docling_rag_spark.sources.pages import write_pages_parquet
+    from pyspark.sql import functions as F
+
+    pages = str(tmp_path / "pages.parquet")
+    wh = str(tmp_path / "wh")
+    write_pages_parquet(pages, 60)
+    run_extraction(spark, pages, wh, num_buckets=8)
+    chunks = spark.read.parquet(os.path.join(wh, "chunks"))
+    (embed_chunks(chunks)
+     .withColumn("bucket", bucket_of(F.col("url"), 8))
+     .write.partitionBy("bucket").mode("overwrite")
+     .parquet(os.path.join(wh, "embeddings")))
+    emb = spark.read.parquet(os.path.join(wh, "embeddings"))
+    AI.build_ann_index(spark, emb, os.path.join(wh, "ann"),
+                       id_cols=("url", "chunk_id"))
+
+    q = "star schema fact dimension tables"
+    exact = service.search_warehouse(spark, wh, q, top_k=3, log=False,
+                                     mode="exact")
+    ann = service.search_warehouse(spark, wh, q, top_k=3, log=False,
+                                   mode="ann")
+    assert exact and ann
+    q_vec = [float(v) for v in embed_texts([q])[0]]
+    probes = set(AI.multiprobe_buckets(AI.py_bucket(q_vec)))
+    idx = {(r["url"], r["chunk_id"]): r["bucket"]
+           for r in spark.read.parquet(os.path.join(wh, "ann", "lsh"))
+           .select("url", "chunk_id", "bucket").collect()}
+    top = exact[0]
+    if idx[(top["url"], top["chunk_id"])] in probes:
+        assert (ann[0]["url"], ann[0]["chunk_id"]) == \
+               (top["url"], top["chunk_id"])
+    # every ann hit must come from a probed bucket
+    for r in ann:
+        assert idx[(r["url"], r["chunk_id"])] in probes
+    # mode='ann' on a warehouse WITHOUT an index is an explicit error
+    import pytest as _pytest
+    os.rename(os.path.join(wh, "ann"), os.path.join(wh, "ann_bak"))
+    try:
+        with _pytest.raises(FileNotFoundError):
+            service.search_warehouse(spark, wh, q, mode="ann", log=False)
+    finally:
+        os.rename(os.path.join(wh, "ann_bak"), os.path.join(wh, "ann"))
