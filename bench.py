@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "vec_lsh_bucketed",
     "vec_lsh_multiprobe",
     "vec_ivf_topk",
+    "vec_lsh_multitable",
     "vec_recall_at_k",
     "extract_chunks",
 ]

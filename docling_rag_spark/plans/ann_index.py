@@ -32,6 +32,13 @@ import uuid
 
 N_PLANES = 8
 IVF_K = 16
+# multi-table LSH: T independent 6-bit tables (64 buckets each). Recall of
+# sign-LSH rises with the number of independent tables (a true neighbor
+# only needs to collide in ONE of them) at the classic cost of T× index
+# storage and T probe partitions per query.
+MT_TABLES = 4
+MT_BITS = 6
+_MT_PLANE_OFFSET = 1000  # disjoint from the single-table plane id space
 
 
 def plane_value(j: int, i: int) -> float:
@@ -55,6 +62,19 @@ def plane_matrix(dim: int, n_planes: int = N_PLANES) -> list[list[float]]:
 
 def centroid_matrix(dim: int, k: int = IVF_K) -> list[list[float]]:
     return [[centroid_value(c, i) for i in range(dim)] for c in range(k)]
+
+
+def mt_plane_matrix(dim: int, table: int) -> list[list[float]]:
+    """The 6 hyperplanes of multi-table-LSH table ``table`` (plane ids
+    offset into a disjoint range so no table shares a plane with another
+    table or with the single-table index)."""
+    base = _MT_PLANE_OFFSET + table * MT_BITS
+    return [[plane_value(base + j, i) for i in range(dim)]
+            for j in range(MT_BITS)]
+
+
+def py_mt_bucket(emb, table: int) -> int:
+    return py_bucket(emb, mt_plane_matrix(len(emb), table))
 
 
 def py_dot(a, b) -> float:
@@ -117,6 +137,24 @@ def build_ann_index(spark, embeddings_df, out_dir: str,
     first = embeddings_df.select(F.size("embedding").alias("d")).first()
     dim = int(first["d"]) if first else 0
     base = embeddings_df.select(*id_cols, "embedding")
+    # The bucket/cell assignment expressions embed (8+16+T*6)×dim literal
+    # plane/centroid constants; at dim≥256 whole-stage codegen spends tens
+    # of seconds COMPILING them per stage while interpreted evaluation of
+    # the same Catalyst expressions is instant and bit-identical. The
+    # build is a one-time job, so trade JIT throughput for zero compile.
+    conf = spark.conf
+    prev = conf.get("spark.sql.codegen.wholeStage", "true")
+    conf.set("spark.sql.codegen.wholeStage", "false")
+    try:
+        _write_index_tables(spark, base, dim, out_dir)
+    finally:
+        conf.set("spark.sql.codegen.wholeStage", prev)
+
+
+def _write_index_tables(spark, base, dim: int, out_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    from docling_rag_spark.queries.vectors import _bucket, _ivf_cell
     (base.withColumn("bucket",
                      _bucket(F.col("embedding"), plane_matrix(dim)))
      .write.partitionBy("bucket").mode("overwrite")
@@ -125,6 +163,17 @@ def build_ann_index(spark, embeddings_df, out_dir: str,
                      _ivf_cell(F.col("embedding"), centroid_matrix(dim)))
      .write.partitionBy("cell").mode("overwrite")
      .parquet(os.path.join(out_dir, "ivf")))
+    # multi-table LSH: T copies of the data, one per independent table —
+    # the T× storage is the standard recall trade-off; a query probes one
+    # (table, bucket) partition per table. All T buckets are computed in a
+    # SINGLE scan and posexploded into (table, bucket) rows — a per-table
+    # union re-read the data and re-compiled the plane matrices T times.
+    buckets = F.array(*[
+        _bucket(F.col("embedding"), mt_plane_matrix(dim, t))
+        for t in range(MT_TABLES)])
+    (base.select("*", F.posexplode(buckets).alias("table", "bucket"))
+     .write.partitionBy("table", "bucket").mode("overwrite")
+     .parquet(os.path.join(out_dir, "mt")))
 
 
 def ensure_index(spark, sf_dir: str) -> str:
@@ -136,14 +185,14 @@ def ensure_index(spark, sf_dir: str) -> str:
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
     key = hashlib.md5(
-        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}|v1"
+        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}|v2"
         .encode()).hexdigest()[:16]
     root = os.environ.get("SPARK_GRAFT_ANN_DIR",
                           os.path.join(tempfile.gettempdir(),
                                        "spark_graft_ann"))
     final = os.path.join(root, key)
-    if os.path.isdir(os.path.join(final, "lsh")) and \
-            os.path.isdir(os.path.join(final, "ivf")):
+    if all(os.path.isdir(os.path.join(final, t))
+           for t in ("lsh", "ivf", "mt")):
         return final
     os.makedirs(root, exist_ok=True)
     tmp = os.path.join(root, f".build-{uuid.uuid4().hex[:12]}")

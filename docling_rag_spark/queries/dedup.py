@@ -540,7 +540,6 @@ QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_keep_first": (dedup_keep_first, DEDUP_KEEP_FIRST_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
-    "dedup_shingle_df_stats": (dedup_shingle_df_stats, SHINGLE_DF_STATS_SQL),
     "dedup_simhash_band_stats": (dedup_simhash_band_stats,
                                  SIMHASH_BAND_STATS_SQL),
     "dedup_minhash_sig": (dedup_minhash_sig, MINHASH_SIG_SQL),
@@ -554,4 +553,7 @@ QUERIES = {
 # rows); it remains bench-/pytest-visible here.
 DIAGNOSTICS = {
     "dedup_simhash": (dedup_simhash, SIMHASH_SQL),
+    # jaccard blocking observability (driver window holds its pattern twin
+    # dedup_simhash_band_stats; this one stays pytest-/bench-visible)
+    "dedup_shingle_df_stats": (dedup_shingle_df_stats, SHINGLE_DF_STATS_SQL),
 }

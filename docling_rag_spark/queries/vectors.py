@@ -142,9 +142,13 @@ def _bucket(emb_col, planes_rows: list[list[float]] | None = None):
     zip_with term order is safe); the bit sum is integer, order-free.
     ``planes_rows`` lets the index builder pass a matrix matching the
     table's embedding dim (default: the 64-dim oracle-table matrix)."""
-    planes = F.array(*[F.array(*[F.lit(v) for v in row])
-                       for row in (planes_rows if planes_rows is not None
-                                   else _PLANES)])
+    # ONE nested-array Literal node (not dim×n_planes individual F.lit
+    # nodes): Catalyst analysis over thousands of literal leaves costs
+    # seconds per query at dim≥256; a single Literal is O(1) to analyze
+    # and carries the identical doubles
+    planes = F.lit([list(map(float, row))
+                    for row in (planes_rows if planes_rows is not None
+                                else _PLANES)])
     dots = F.transform(
         planes,
         lambda p: F.aggregate(
@@ -160,9 +164,10 @@ def _bucket(emb_col, planes_rows: list[list[float]] | None = None):
                        lambda a, x: a + x)
 
 
-def _bucket_sql(e: str) -> str:
+def _bucket_sql(e: str, plane_rows: list[list[float]] | None = None) -> str:
     parts = []
-    for j, row in enumerate(_PLANES):
+    for j, row in enumerate(plane_rows if plane_rows is not None
+                            else _PLANES):
         terms = " + ".join(f"{e}[{i + 1}]::DOUBLE * {v!r}"
                            for i, v in enumerate(row))
         parts.append(f"(CASE WHEN (0.0 + {terms}) > 0 "
@@ -332,9 +337,9 @@ def _ivf_cell(emb_col, cents_rows: list[list[float]] | None = None):
     CASE-chain argmax fold would even double per centroid). Left-fold
     accumulation matches the SQL mirror's left-assoc sum bit-for-bit;
     IEEE multiplication is commutative so term order is x*y vs y*x safe."""
-    cents = F.array(*[F.array(*[F.lit(v) for v in row])
-                      for row in (cents_rows if cents_rows is not None
-                                  else _CENTROIDS)])
+    cents = F.lit([list(map(float, row))
+                   for row in (cents_rows if cents_rows is not None
+                               else _CENTROIDS)])  # single Literal node
     dots = F.transform(
         cents,
         lambda c: F.aggregate(
@@ -386,6 +391,68 @@ ORDER BY score_e6 DESC, vec_id ASC LIMIT {_TOPK}
 """
 
 
+# --- multi-table LSH -----------------------------------------------------------
+
+def _mt_matrices():
+    from docling_rag_spark.plans.ann_index import MT_TABLES, mt_plane_matrix
+    return [mt_plane_matrix(64, t) for t in range(MT_TABLES)]
+
+
+def vec_lsh_multitable(spark, sf_dir):
+    """Multi-table LSH top-k: T=4 independent 6-bit tables; a true
+    neighbor only needs to collide in ONE of them (the classic LSH recall
+    fix — E2LSH-style table replication — vs multiprobe's single-table
+    neighborhood expansion). The query probes exactly one (table, bucket)
+    partition per table of the materialized T×-replicated index: 4 of 256
+    partitions, plan-audited."""
+    from docling_rag_spark.plans import ann_index as AI
+    q_emb = AI.query_vector(sf_dir, _QUERY_VEC_ID)
+    idx = AI.ensure_index(spark, sf_dir)
+    df = spark.read.parquet(f"{idx}/mt")
+    cond = None
+    for t in range(AI.MT_TABLES):
+        c = (F.col("table") == t) & \
+            (F.col("bucket") == AI.py_mt_bucket(q_emb, t))
+        cond = c if cond is None else (cond | c)
+    # a vector colliding in several tables appears once in the candidates
+    emb = (df.filter(cond).select("vec_id", "embedding")
+           .dropDuplicates(["vec_id"]))
+    qlit = F.array(*[F.lit(v) for v in q_emb])
+    cos = F.floor(_dot(F.col("embedding"), qlit)
+                  / (_norm(F.col("embedding")) * _norm(qlit))
+                  * 1000000.0).cast("bigint")
+    return (emb.filter(F.col("vec_id") != _QUERY_VEC_ID)
+            .select(F.col("vec_id").cast("bigint").alias("vec_id"),
+                    cos.alias("score_e6"))
+            .orderBy(F.desc("score_e6"), F.asc("vec_id")).limit(_TOPK))
+
+
+def _multitable_sql() -> str:
+    mats = _mt_matrices()
+    bcols = ",\n         ".join(
+        f"{_bucket_sql('embedding', m)} AS b{t}" for t, m in enumerate(mats))
+    collide = " OR ".join(f"e.b{t} = q.b{t}" for t in range(len(mats)))
+    return f"""
+WITH emb AS (
+  SELECT vec_id::BIGINT AS vec_id, embedding,
+         {bcols}
+  FROM embeddings
+), q AS (
+  SELECT * FROM emb WHERE vec_id = {_QUERY_VEC_ID}
+)
+SELECT e.vec_id,
+       floor({_dot_sql('e.embedding', 'q.embedding')}
+             / ({_norm_sql('e.embedding')} * {_norm_sql('q.embedding')})
+             * 1000000.0)::BIGINT AS score_e6
+FROM emb e CROSS JOIN q
+WHERE e.vec_id != {_QUERY_VEC_ID} AND ({collide})
+ORDER BY score_e6 DESC, e.vec_id ASC LIMIT {_TOPK}
+"""
+
+
+MULTITABLE_SQL = _multitable_sql()
+
+
 # --- ANN recall evidence -------------------------------------------------------
 
 _RECALL_PROBES = (0, 1, 2, 3, 4, 5, 6, 7)
@@ -401,22 +468,30 @@ def vec_recall_at_k(spark, sf_dir):
     serving paths stay partition-pruned."""
     from pyspark.sql import Window
 
+    mats = _mt_matrices()
+    mt_cols = [_bucket(F.col("embedding"), m).alias(f"b{t}")
+               for t, m in enumerate(mats)]
     emb = _t(spark, sf_dir, "embeddings").select(
         F.col("vec_id").cast("bigint").alias("vec_id"), "embedding",
         _bucket(F.col("embedding")).alias("bucket"),
-        _ivf_cell(F.col("embedding")).alias("cell"))
+        _ivf_cell(F.col("embedding")).alias("cell"), *mt_cols)
     q = (emb.filter(F.col("vec_id").isin(list(_RECALL_PROBES)))
          .select(F.col("vec_id").alias("query_id"),
                  F.col("embedding").alias("q_emb"),
                  F.col("bucket").alias("q_bucket"),
-                 F.col("cell").alias("q_cell")))
+                 F.col("cell").alias("q_cell"),
+                 *[F.col(f"b{t}").alias(f"qb{t}")
+                   for t in range(len(mats))]))
     cos = F.floor(_dot(F.col("embedding"), F.col("q_emb"))
                   / (_norm(F.col("embedding")) * _norm(F.col("q_emb")))
                   * 1000000.0).cast("bigint")
     scored = (emb.crossJoin(F.broadcast(q))
               .filter(F.col("vec_id") != F.col("query_id"))
               .select("query_id", "vec_id", "bucket", "cell",
-                      "q_bucket", "q_cell", cos.alias("score_e6")))
+                      "q_bucket", "q_cell",
+                      *[c for t in range(len(mats))
+                        for c in (f"b{t}", f"qb{t}")],
+                      cos.alias("score_e6")))
     w = Window.partitionBy("query_id").orderBy(F.desc("score_e6"),
                                                F.asc("vec_id"))
 
@@ -429,32 +504,51 @@ def vec_recall_at_k(spark, sf_dir):
     mp = top10(scored.filter(
         F.bit_count(F.col("bucket").bitwiseXOR(F.col("q_bucket"))) <= 1))
     ivf = top10(scored.filter(F.col("cell") == F.col("q_cell")))
+    collide = None
+    for t in range(len(mats)):
+        c = F.col(f"b{t}") == F.col(f"qb{t}")
+        collide = c if collide is None else (collide | c)
+    mt = top10(scored.filter(collide))
     return (exact
             .join(mp.withColumn("in_mp", F.lit(1)),
                   ["query_id", "vec_id"], "left")
             .join(ivf.withColumn("in_ivf", F.lit(1)),
                   ["query_id", "vec_id"], "left")
+            .join(mt.withColumn("in_mt", F.lit(1)),
+                  ["query_id", "vec_id"], "left")
             .groupBy("query_id")
             .agg(F.sum(F.coalesce(F.col("in_mp"), F.lit(0)))
                   .cast("bigint").alias("recall_multiprobe_at_10"),
                  F.sum(F.coalesce(F.col("in_ivf"), F.lit(0)))
-                  .cast("bigint").alias("recall_ivf_at_10")))
+                  .cast("bigint").alias("recall_ivf_at_10"),
+                 F.sum(F.coalesce(F.col("in_mt"), F.lit(0)))
+                  .cast("bigint").alias("recall_multitable_at_10")))
 
 
 _RECALL_PROBES_SQL = ", ".join(str(p) for p in _RECALL_PROBES)
 
-RECALL_SQL = f"""
+
+def _recall_sql() -> str:
+    mats = _mt_matrices()
+    bcols = ",\n         ".join(
+        f"{_bucket_sql('embedding', m)} AS b{t}" for t, m in enumerate(mats))
+    qb = ", ".join(f"b{t} AS qb{t}" for t in range(len(mats)))
+    sb = ", ".join(f"e.b{t}, q.qb{t}" for t in range(len(mats)))
+    collide = " OR ".join(f"b{t} = qb{t}" for t in range(len(mats)))
+    return f"""
 WITH emb AS (
   SELECT vec_id::BIGINT AS vec_id, embedding,
          {_bucket_sql('embedding')} AS bucket,
-         {_ivf_cell_sql('embedding')} AS cell
+         {_ivf_cell_sql('embedding')} AS cell,
+         {bcols}
   FROM embeddings
 ), q AS (
   SELECT vec_id AS query_id, embedding AS q_emb,
-         bucket AS q_bucket, cell AS q_cell
+         bucket AS q_bucket, cell AS q_cell, {qb}
   FROM emb WHERE vec_id IN ({_RECALL_PROBES_SQL})
 ), scored AS (
   SELECT q.query_id, e.vec_id, e.bucket, e.cell, q.q_bucket, q.q_cell,
+         {sb},
          floor({_dot_sql('e.embedding', 'q.q_emb')}
                / ({_norm_sql('e.embedding')} * {_norm_sql('q.q_emb')})
                * 1000000.0)::BIGINT AS score_e6
@@ -474,17 +568,28 @@ WITH emb AS (
   WHERE cell = q_cell
   QUALIFY row_number() OVER (PARTITION BY query_id
                              ORDER BY score_e6 DESC, vec_id ASC) <= {_TOPK}
+), mt AS (
+  SELECT query_id, vec_id FROM scored
+  WHERE {collide}
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY score_e6 DESC, vec_id ASC) <= {_TOPK}
 )
 SELECT e.query_id,
        sum(CASE WHEN m.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
          AS recall_multiprobe_at_10,
        sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
-         AS recall_ivf_at_10
+         AS recall_ivf_at_10,
+       sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS recall_multitable_at_10
 FROM exact e
 LEFT JOIN mp m USING (query_id, vec_id)
 LEFT JOIN ivf i USING (query_id, vec_id)
+LEFT JOIN mt t USING (query_id, vec_id)
 GROUP BY e.query_id
 """
+
+
+RECALL_SQL = _recall_sql()
 
 
 def vec_ivf_cells(spark, sf_dir):
@@ -510,6 +615,7 @@ QUERIES = {
     "vec_lsh_multiprobe": (vec_lsh_multiprobe, MULTIPROBE_SQL),
     "vec_ivf_topk": (vec_ivf_topk, IVF_TOPK_SQL),
     "vec_ivf_cells": (vec_ivf_cells, IVF_CELLS_SQL),
+    "vec_lsh_multitable": (vec_lsh_multitable, MULTITABLE_SQL),
     "vec_recall_at_k": (vec_recall_at_k, RECALL_SQL),
 }
 

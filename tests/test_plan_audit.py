@@ -99,12 +99,16 @@ def test_ann_index_partition_pruning(spark):
 
     cases = (("vec_lsh_bucketed", "bucket", 1, 256),
              ("vec_lsh_multiprobe", "bucket", 9, 256),
+             ("vec_lsh_multitable", "bucket", 4, 256),
              ("vec_ivf_topk", "cell", 1, 16))
     for name, key, max_parts, total_parts in cases:
         df = all_queries()[name](spark, SF_DIR)
         qe = df._jdf.queryExecution()
         # physical: the executed scan's selected partition count
-        leaves = qe.executedPlan().collectLeaves()
+        plan = qe.executedPlan()
+        if plan.nodeName() == "AdaptiveSparkPlan":
+            plan = plan.executedPlan()  # unwrap to the current inner plan
+        leaves = plan.collectLeaves()
         scans = [leaves.apply(i) for i in range(leaves.length())
                  if "parquet" in leaves.apply(i).nodeName().lower()]
         assert scans, f"{name}: no parquet scan leaf"

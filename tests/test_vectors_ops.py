@@ -19,8 +19,11 @@ SF_DIR = "/root/testdata/sf0.001"
 def test_vec_recall_deterministic(spark):
     rows = sorted(tuple(int(v) for v in r)
                   for r in vec_recall_at_k(spark, SF_DIR).collect())
-    assert rows == [(0, 0, 0), (1, 1, 4), (2, 1, 1), (3, 0, 2), (4, 0, 2),
-                    (5, 2, 0), (6, 0, 4), (7, 1, 1)]
+    assert rows == [(0, 0, 0, 2), (1, 1, 4, 3), (2, 1, 1, 1), (3, 0, 2, 3),
+                    (4, 0, 2, 1), (5, 2, 0, 0), (6, 0, 4, 2), (7, 1, 1, 2)]
+    # the multi-table path must out-recall single-table multiprobe in
+    # aggregate (T independent collision chances vs one neighborhood)
+    assert sum(r[3] for r in rows) > sum(r[1] for r in rows)
 
 
 def test_index_partitions_match_python_probe_math(spark):
