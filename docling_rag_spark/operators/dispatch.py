@@ -61,10 +61,16 @@ def sniff_format(html: bytes | None, text: str | None) -> str:
     return "empty"
 
 
-def parse_document(html: bytes | None, text: str | None
-                   ) -> tuple[str, list[Block], str, str | None]:
-    """Returns (format, blocks, status, error). Never raises on row data."""
+def parse_document_ex(html: bytes | None, text: str | None
+                      ) -> tuple[str, list[Block], str, str | None,
+                                 str | None]:
+    """Returns (format, blocks, status, error, encoding). Never raises on
+    row data. ``encoding`` is the detected source charset for decoded
+    textual payloads (observability: a fleet-wide encoding histogram is
+    how mojibake regressions surface at 10^12 docs), None for binary
+    formats and pre-extracted text."""
     fmt = sniff_format(html, text)
+    enc: str | None = None
     try:
         if fmt == "pdf":
             # S3 text-layer gate (reference core/parser.py:16-53, ocr="auto"):
@@ -75,28 +81,38 @@ def parse_document(html: bytes | None, text: str | None
             # of scope in this environment (no models).
             pages, has_layer, texty, sampled = classify_pdf(html)  # type: ignore[arg-type]
             if has_layer:
-                return fmt, blocks_from_pages(pages), "ok", None
+                return fmt, blocks_from_pages(pages), "ok", None, None
             reason = (f"scan-class pdf ({texty}/{sampled} texty pages); "
                       "ocr unavailable: ")
             if text and text.strip():
                 return (fmt, extract_markdown(text), "degraded",
-                        reason + "crawl-supplied text used")
+                        reason + "crawl-supplied text used", None)
             return (fmt, blocks_from_pages(pages), "degraded",
-                    reason + "sparse parsed text only")
+                    reason + "sparse parsed text only", None)
         elif fmt == "docx":
             blocks = extract_docx(html)  # type: ignore[arg-type]
         elif fmt == "html":
             # charset-aware decode (BOM / declared charset / cp1251-koi8r
             # heuristic): a cp1251 page must extract byte-identical to its
             # utf-8 twin, never as clean-status mojibake
-            blocks = extract_html(detect_decode(html)[0])  # type: ignore[arg-type]
+            src, enc = detect_decode(html)  # type: ignore[arg-type]
+            blocks = extract_html(src)
         elif fmt == "markdown":
-            src = detect_decode(html)[0] if html else (text or "")
+            if html:
+                src, enc = detect_decode(html)
+            else:
+                src = text or ""
             blocks = extract_markdown(src)
         elif fmt == "empty":
-            return fmt, [], "ok", None   # empty doc: 0 chunks, still counted ok
+            return fmt, [], "ok", None, None  # empty doc: 0 chunks, still ok
         else:
-            return fmt, [], "error", f"unsupported format"
-        return fmt, blocks, "ok", None
+            return fmt, [], "error", "unsupported format", None
+        return fmt, blocks, "ok", None, enc
     except Exception as exc:  # row-level fail-soft (reference indexer.py:114-116)
-        return fmt, [], "error", f"{type(exc).__name__}: {exc}"
+        return fmt, [], "error", f"{type(exc).__name__}: {exc}", enc
+
+
+def parse_document(html: bytes | None, text: str | None
+                   ) -> tuple[str, list[Block], str, str | None]:
+    """Returns (format, blocks, status, error) — see parse_document_ex."""
+    return parse_document_ex(html, text)[:4]

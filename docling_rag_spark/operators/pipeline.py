@@ -43,6 +43,7 @@ DOC_SCHEMA = T.StructType([
     T.StructField("lang", T.StringType(), True),
     T.StructField("format", T.StringType(), False),
     T.StructField("status", T.StringType(), False),
+    T.StructField("encoding", T.StringType(), True),
     T.StructField("error", T.StringType(), True),
     T.StructField("title", T.StringType(), True),
     T.StructField("extracted_text", T.StringType(), False),
@@ -56,15 +57,15 @@ def _parse_chunk_batches(batches: Iterator[pd.DataFrame],
     """Arrow-batch worker: (url, html, text, lang) -> DOC_SCHEMA rows."""
     # imports inside the worker: the package is shipped via addPyFile
     from docling_rag_spark.operators.blocks import chunk_blocks
-    from docling_rag_spark.operators.dispatch import parse_document
+    from docling_rag_spark.operators.dispatch import parse_document_ex
 
     for pdf in batches:
         out: dict[str, list] = {k: [] for k in (
-            "url", "warc_ts", "lang", "format", "status", "error", "title",
-            "extracted_text", "n_blocks", "chunks")}
+            "url", "warc_ts", "lang", "format", "status", "encoding",
+            "error", "title", "extracted_text", "n_blocks", "chunks")}
         for url, warc_ts, html, text, lang in zip(
                 pdf["url"], pdf["warc_ts"], pdf["html"], pdf["text"], pdf["lang"]):
-            fmt, blocks, status, error = parse_document(
+            fmt, blocks, status, error, enc = parse_document_ex(
                 html if isinstance(html, (bytes, bytearray)) else None,
                 text if isinstance(text, str) else None,
             )
@@ -75,6 +76,7 @@ def _parse_chunk_batches(batches: Iterator[pd.DataFrame],
             out["lang"].append(lang)
             out["format"].append(fmt)
             out["status"].append(status)
+            out["encoding"].append(enc)
             out["error"].append(error)
             out["title"].append(title)
             out["extracted_text"].append(extracted)
@@ -142,8 +144,8 @@ def extracted_table(docs: DataFrame) -> DataFrame:
     carry it so this derivation never scans the wide chunks column)."""
     n_chunks = (F.col("n_chunks") if "n_chunks" in docs.columns
                 else F.size("chunks"))
-    return docs.select("url", "format", "status", "error", "title", "lang",
-                       "extracted_text", "n_blocks",
+    return docs.select("url", "format", "status", "encoding", "error",
+                       "title", "lang", "extracted_text", "n_blocks",
                        n_chunks.alias("n_chunks"), "warc_ts")
 
 

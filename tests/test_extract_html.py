@@ -195,3 +195,18 @@ def test_charset_detector_units():
     assert codec == "cp1252" and "café" in text
     assert looks_binary(bytes(range(32)) * 8)
     assert not looks_binary("просто текст".encode("cp1251"))
+
+
+def test_encoding_column_observability():
+    """parse_document_ex exposes the detected charset for the fleet-wide
+    encoding histogram (mojibake observability at crawl scale)."""
+    from docling_rag_spark.operators.dispatch import parse_document_ex
+    from docling_rag_spark.sources import fixtures as FX
+    assert parse_document_ex(FX.cyrillic_html("utf-8"), None)[4] == "utf-8"
+    assert parse_document_ex(
+        FX.cyrillic_html("cp1251", declare=True), None)[4] == "cp1251"
+    assert parse_document_ex(FX.cyrillic_html("koi8_r"), None)[4] == "koi8_r"
+    assert parse_document_ex(FX.koi8_markdown(), None)[4] == "koi8_r"
+    # binary formats / pre-extracted text have no source charset
+    assert parse_document_ex(FX.build_scan_pdf(1), None)[4] is None
+    assert parse_document_ex(None, "plain wet text")[4] is None
