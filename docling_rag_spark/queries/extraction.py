@@ -20,6 +20,13 @@ def _t(spark, sf_dir, name):
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _salt(spark) -> int:
+    """Parse-stage parallelism: one partition per core (a fixed 8 capped
+    the expensive UDF stage at 8 of 32 threads; results are partition-
+    independent, pinned by test_deterministic_across_runs)."""
+    return max(8, spark.sparkContext.defaultParallelism)
+
+
 _PAGE_CLASS_EXT = {0: "md", 1: "md", 2: "md", 3: "html", 4: "html",
                    5: "docx", 6: "pdf", 7: "pdf", 8: "pdf", 9: "html"}
 
@@ -98,7 +105,7 @@ def extract_chunks(spark, sf_dir):
     from docling_rag_spark.operators.pipeline import (
         chunks_table, extract_documents)
     pages = _as_pages(_t(spark, sf_dir, "documents"))
-    docs = extract_documents(pages, salt_partitions=8)
+    docs = extract_documents(pages, salt_partitions=_salt(spark))
     return (chunks_table(docs)
             .select("url", F.col("chunk_id").cast("int").alias("chunk_id"),
                     "text", "element_type",
@@ -109,7 +116,7 @@ def extract_docs(spark, sf_dir):
     from docling_rag_spark.operators.pipeline import (
         extract_documents, extracted_table)
     pages = _as_pages(_t(spark, sf_dir, "documents"))
-    docs = extract_documents(pages, salt_partitions=8)
+    docs = extract_documents(pages, salt_partitions=_salt(spark))
     return (extracted_table(docs)
             .select("url", "format", "status", "title",
                     F.col("n_blocks").cast("int").alias("n_blocks"),
@@ -132,7 +139,7 @@ def extract_digest(spark, sf_dir):
     (tests/core/test_chunker.py:49-203), but driver-checkable."""
     from docling_rag_spark.operators.pipeline import extract_documents
     pages = _as_pages(_t(spark, sf_dir, "documents"))
-    docs = extract_documents(pages, salt_partitions=8)
+    docs = extract_documents(pages, salt_partitions=_salt(spark))
     chunk_fold = F.md5(F.concat_ws("|", F.transform(
         F.col("chunks"),
         lambda c: F.concat_ws(
