@@ -1,0 +1,134 @@
+"""Continuous embedding + incremental ANN-index maintenance.
+
+Completes the persistent-index story (plans/ann_index.py) for streaming
+ingest: the reference's pgvector HNSW (reference storage/db_schema.py:36-37)
+is updated row-by-row on every insert; the Spark-native analog is an
+append-only sequence of per-micro-batch DELTA partitions over the same
+(bucket) layout the batch index uses:
+
+    <out>/embeddings/batch=<id>/...                 embedding rows
+    <out>/ann_delta/batch=<id>/bucket=<b>/...       LSH-bucketed delta
+
+Exactly-once: each micro-batch writes its OWN ``batch=<id>`` directory
+with mode=overwrite, so a retried batch replaces its partial output
+instead of duplicating it (same shape as stream_ingest_dedup). A probe
+query filters on ``bucket`` — partition discovery spans every batch dir,
+and partition pruning reads only the probe buckets of each delta (the
+scan cost grows with delta COUNT, not corpus size, until compaction).
+
+``compact_ann_index`` folds all deltas into the single-level layout the
+batch queries use (an Iceberg rewrite-data-files action in miniature),
+taken under the warehouse commit lock.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from docling_rag_spark.config import CHUNK_MAX_TOKENS
+from docling_rag_spark.operators.pipeline import chunks_table, extract_documents
+from docling_rag_spark.streaming.ingest import PAGES_SCHEMA
+
+
+def _delta_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "ann_delta")
+
+
+def stream_embed_index(spark: SparkSession,
+                       pages_dir: str,
+                       out_dir: str,
+                       checkpoint_dir: str,
+                       max_tokens: int = CHUNK_MAX_TOKENS,
+                       available_now: bool = True):
+    """Stream pages -> extract -> embed -> append embeddings + bucketed
+    ANN delta per micro-batch. Returns the StreamingQuery."""
+    from docling_rag_spark.operators.embed import embed_chunks
+    from docling_rag_spark.plans.ann_index import plane_matrix
+    from docling_rag_spark.queries.vectors import _bucket
+
+    emb_dir = os.path.join(out_dir, "embeddings")
+
+    def process_batch(docs, batch_id: int) -> None:
+        chunks = chunks_table(docs.filter(F.col("status") != "error"))
+        emb = embed_chunks(chunks).persist()
+        try:
+            (emb.write.mode("overwrite")
+             .parquet(os.path.join(emb_dir, f"batch={batch_id}")))
+            first = emb.select(F.size("embedding").alias("d")).first()
+            if first is None:
+                return  # empty batch: embeddings dir written, no delta
+            dim = int(first["d"])
+            (emb.withColumn("bucket",
+                            _bucket(F.col("embedding"), plane_matrix(dim)))
+             .write.partitionBy("bucket").mode("overwrite")
+             .parquet(os.path.join(_delta_dir(out_dir),
+                                   f"batch={batch_id}")))
+        finally:
+            emb.unpersist()
+
+    pages = (spark.readStream.schema(PAGES_SCHEMA)
+             .option("maxFilesPerTrigger", "8")
+             .parquet(pages_dir))
+    docs = extract_documents(pages, max_tokens=max_tokens,
+                             salt_partitions=None)
+    writer = (docs.writeStream
+              .foreachBatch(process_batch)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def ann_probe_candidates(spark: SparkSession, out_dir: str,
+                         buckets: list[int]):
+    """Partition-pruned candidate set across base index + all deltas."""
+    parts = []
+    base = os.path.join(out_dir, "ann", "lsh")
+    if os.path.isdir(base):
+        parts.append(spark.read.parquet(base))
+    delta = _delta_dir(out_dir)
+    if os.path.isdir(delta):
+        parts.append(spark.read.option("basePath", delta).parquet(delta)
+                     .drop("batch"))
+    if not parts:
+        raise FileNotFoundError(f"no ANN index under {out_dir}")
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df.filter(F.col("bucket").isin([int(b) for b in buckets]))
+
+
+def compact_ann_index(spark: SparkSession, out_dir: str) -> dict:
+    """Fold every delta batch into the flat base layout (Iceberg
+    rewrite-data-files in miniature; run under the warehouse commit lock
+    so it cannot interleave with another compactor)."""
+    from docling_rag_spark.io.warehouse import commit_lock
+
+    delta = _delta_dir(out_dir)
+    base = os.path.join(out_dir, "ann", "lsh")
+    if not os.path.isdir(delta):
+        return {"compacted_batches": 0}
+    with commit_lock(out_dir):
+        batches = [d for d in sorted(os.listdir(delta))
+                   if d.startswith("batch=")]
+        merged = spark.read.option("basePath", delta).parquet(delta) \
+            .drop("batch")
+        if os.path.isdir(base):
+            merged = merged.unionByName(spark.read.parquet(base))
+        tmp = base + ".compact-tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        merged.write.partitionBy("bucket").mode("overwrite").parquet(tmp)
+        old = base + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(base):
+            os.rename(base, old)
+        os.makedirs(os.path.dirname(base), exist_ok=True)
+        os.rename(tmp, base)
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(delta, ignore_errors=True)
+        return {"compacted_batches": len(batches)}
