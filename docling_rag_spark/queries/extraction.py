@@ -147,7 +147,7 @@ def extract_digest(spark, sf_dir):
             c["span"]["start"].cast("string"),
             c["span"]["end"].cast("string")))))
     return docs.select(
-        "url", "format", "status",
+        "url", "format", "status", "encoding",
         F.md5(F.col("extracted_text")).alias("text_md5"),
         chunk_fold.alias("chunks_md5"),
         F.size("chunks").cast("int").alias("n_chunks"))
@@ -318,6 +318,7 @@ def media_describe_q(spark, sf_dir):
 QUERIES = {
     "extract_digest": (extract_digest, _values_sql("GOLDEN_SF001", [
         ("url", "VARCHAR"), ("format", "VARCHAR"), ("status", "VARCHAR"),
+        ("encoding", "VARCHAR"),
         ("text_md5", "VARCHAR"), ("chunks_md5", "VARCHAR"),
         ("n_chunks", "INT")])),
     "embed_digest": (embed_digest, _values_sql("EMBED_GOLDEN_SF001", [
