@@ -106,3 +106,41 @@ def test_extracted_text_contains_all_chunks_in_order(pairs, budget):
         found = extracted.find(c.text, pos)
         assert found >= 0
         pos = found
+
+
+# --- charset detector properties (round 3) -----------------------------------
+
+_ru_words = st.lists(
+    st.text(alphabet="абвгдежзиклмнопрстуфхцчшщыьэюя", min_size=3,
+            max_size=10),
+    min_size=8, max_size=40)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_ru_words, st.sampled_from(["cp1251", "koi8_r"]))
+def test_charset_heuristic_recovers_russian(words, codec):
+    """Any undeclared lowercase-Russian text round-trips through the case
+    heuristic: detect_decode(text.encode(codec)) == text."""
+    from docling_rag_spark.operators.charset import detect_decode
+    text = " ".join(words)
+    got, enc = detect_decode(text.encode(codec))
+    assert enc == codec
+    assert got == text
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(min_size=0, max_size=500))
+def test_charset_utf8_is_self_identifying(text):
+    from docling_rag_spark.operators.charset import detect_decode
+    got, enc = detect_decode(text.encode("utf-8"))
+    assert enc == "utf-8" and got == text
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(min_size=0, max_size=600))
+def test_charset_detector_total(payload):
+    """detect_decode never raises on arbitrary bytes and always returns a
+    str (fail-soft contract of the decode layer)."""
+    from docling_rag_spark.operators.charset import detect_decode
+    got, enc = detect_decode(payload)
+    assert isinstance(got, str) and isinstance(enc, str)
