@@ -62,11 +62,18 @@ def make_server(spark: SparkSession, warehouse: str,
                 elif u.path == "/search":
                     if "q" not in q:
                         return self._json({"error": "missing q"}, 400)
+                    mode = q.get("mode", ["auto"])[0]
+                    if mode not in ("auto", "exact", "ann"):
+                        # an unknown mode must 400, not silently fall back
+                        # to a full exact scan the client didn't ask for
+                        return self._json(
+                            {"error": f"invalid mode {mode!r}; use "
+                                      "auto|exact|ann"}, 400)
                     self._json({"results": service.search_warehouse(
                         spark, warehouse, q["q"][0],
                         top_k=int(q.get("k", ["5"])[0]),
                         url_prefix=q.get("url_prefix", [None])[0],
-                        mode=q.get("mode", ["auto"])[0])})
+                        mode=mode)})
                 elif u.path == "/documents":
                     self._json({"documents": service.documents_payload(
                         spark, warehouse,

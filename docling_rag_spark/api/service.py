@@ -41,6 +41,8 @@ def search_warehouse(spark: SparkSession, warehouse: str, query: str,
     from docling_rag_spark.operators.search import log_search, search_chunks
     from docling_rag_spark.plans import ann_index as AI
 
+    if mode not in ("auto", "exact", "ann"):
+        raise ValueError(f"invalid mode {mode!r}; use auto|exact|ann")
     chunks = spark.read.parquet(os.path.join(warehouse, "chunks"))
     emb_path = os.path.join(warehouse, "embeddings")
     ann_lsh = os.path.join(warehouse, "ann", "lsh")

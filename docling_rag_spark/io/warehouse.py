@@ -70,34 +70,50 @@ class CommitConflict(RuntimeError):
 
 class commit_lock:
     """Filesystem mutex serializing the check-then-commit critical section
-    across processes (Iceberg gets this from the catalog's atomic
-    swap; a local FS needs an explicit lease). O_CREAT|O_EXCL acquisition;
-    a lock older than ``stale_sec`` is presumed abandoned (crashed writer)
-    and stolen."""
+    across processes (Iceberg gets this from the catalog's atomic swap; a
+    local FS needs an explicit lease). O_CREAT|O_EXCL acquisition with an
+    owner token; a lock older than ``stale_sec`` is presumed abandoned
+    (crashed writer) and stolen via atomic rename — the rename admits
+    exactly ONE stealer (a plain unlink lets two waiters both 'steal' and
+    both enter the critical section), and release only unlinks a lock this
+    instance still owns (never a stolen-and-recreated successor's).
+
+    Holders must keep the critical section SHORT (directory swaps, lineage
+    appends) — long work (Spark writes) belongs outside the lock, staged,
+    with only the swap inside; ``stale_sec`` backs that contract."""
 
     def __init__(self, out_dir: str, timeout: float = 30.0,
-                 stale_sec: float = 120.0):
+                 stale_sec: float = 600.0):
         os.makedirs(out_dir, exist_ok=True)
         self.path = os.path.join(out_dir, "_commit.lock")
         self.timeout = timeout
         self.stale_sec = stale_sec
+        self.token = f"{os.getpid()}-{uuid.uuid4().hex}"
 
     def __enter__(self):
         deadline = time.time() + self.timeout
         while True:
             try:
                 fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, f"{os.getpid()} {time.time()}".encode())
+                os.write(fd, self.token.encode())
+                os.fsync(fd)
                 os.close(fd)
                 return self
             except FileExistsError:
                 try:
                     age = time.time() - os.stat(self.path).st_mtime
-                    if age > self.stale_sec:
-                        os.unlink(self.path)  # abandoned by a crashed writer
-                        continue
                 except FileNotFoundError:
                     continue  # released between the failed open and stat
+                if age > self.stale_sec:
+                    # atomic steal: only one waiter wins the rename; the
+                    # loser's rename raises and it simply retries
+                    stale = self.path + f".stale-{uuid.uuid4().hex[:8]}"
+                    try:
+                        os.rename(self.path, stale)
+                        os.unlink(stale)
+                    except FileNotFoundError:
+                        pass
+                    continue
                 if time.time() > deadline:
                     raise TimeoutError(
                         f"commit lock {self.path} held for {age:.0f}s")
@@ -105,6 +121,9 @@ class commit_lock:
 
     def __exit__(self, *exc):
         try:
+            with open(self.path, "rb") as f:
+                if f.read().decode(errors="replace") != self.token:
+                    return  # stolen while we held it: successor owns it now
             os.unlink(self.path)
         except FileNotFoundError:
             pass

@@ -57,9 +57,17 @@ def declared_charset(head: bytes) -> str | None:
             if name in _ALIASES:
                 return _ALIASES[name]
             try:
-                return codecs.lookup(name).name
+                info = codecs.lookup(name)
             except LookupError:
                 return None
+            # bytes-to-bytes codecs ('hex', 'zlib', 'base64', …) resolve in
+            # codecs.lookup but raise on bytes.decode — a page declaring one
+            # must fall through to the heuristic, not error out
+            try:
+                b"".decode(info.name)
+            except Exception:
+                return None
+            return info.name
     return None
 
 

@@ -101,7 +101,7 @@ def py_cell(emb, cents: list[list[float]] | None = None) -> int:
     return dots.index(max(dots))  # first occurrence = lower-cell tie rule
 
 
-def multiprobe_buckets(bucket: int, n_planes: int = 8) -> list[int]:
+def multiprobe_buckets(bucket: int, n_planes: int = N_PLANES) -> list[int]:
     """The query bucket plus every bucket at hamming distance 1 — the
     standard multi-probe recall fix (9 of 256 partitions)."""
     return [bucket] + [bucket ^ (1 << j) for j in range(n_planes)]
@@ -131,8 +131,6 @@ def build_ann_index(spark, embeddings_df, out_dir: str,
     task); at 10^9+ vectors add .repartition(n, 'bucket') first so each
     partition is written by one task."""
     from pyspark.sql import functions as F
-
-    from docling_rag_spark.queries.vectors import _bucket, _ivf_cell
 
     first = embeddings_df.select(F.size("embedding").alias("d")).first()
     dim = int(first["d"]) if first else 0
@@ -184,9 +182,13 @@ def ensure_index(spark, sf_dir: str) -> str:
     loses the rename harmlessly."""
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
-    key = hashlib.md5(
-        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}|v2"
-        .encode()).hexdigest()[:16]
+    # key = <path-hash>-<state-hash>: the path part lets a new build prune
+    # its predecessors for the SAME source (each refresh of the testdata
+    # would otherwise leave another multi-hundred-MB dead index behind)
+    path_key = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:12]
+    state_key = hashlib.md5(
+        f"{st.st_mtime_ns}|{st.st_size}|v2".encode()).hexdigest()[:12]
+    key = f"{path_key}-{state_key}"
     root = os.environ.get("SPARK_GRAFT_ANN_DIR",
                           os.path.join(tempfile.gettempdir(),
                                        "spark_graft_ann"))
@@ -197,9 +199,13 @@ def ensure_index(spark, sf_dir: str) -> str:
     os.makedirs(root, exist_ok=True)
     tmp = os.path.join(root, f".build-{uuid.uuid4().hex[:12]}")
     build_ann_index(spark, spark.read.parquet(src), tmp)
+    import shutil
     try:
         os.rename(tmp, final)
     except OSError:  # lost the race: another builder finished first
-        import shutil
         shutil.rmtree(tmp, ignore_errors=True)
+    # prune stale indexes of the same source (older mtime/size states)
+    for d in os.listdir(root):
+        if d.startswith(f"{path_key}-") and d != os.path.basename(final):
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
     return final

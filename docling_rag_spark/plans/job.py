@@ -88,6 +88,10 @@ def run_extraction(
     """Run (or resume) the extraction job. Idempotent per snapshot_id."""
     pages = spark.read.parquet(pages_path)
 
+    # conflict base: the instant this job read its base state. Using the
+    # per-batch start instead would miss a newer snapshot that committed
+    # while an EARLIER batch of this run was computing.
+    base_ts = wh.now()
     done = wh.completed_buckets(out_dir, snapshot_id)
     todo = [b for b in range(num_buckets) if b not in done]
     report = ExtractionReport(
@@ -113,130 +117,134 @@ def run_extraction(
         staging = os.path.join(staging_root, f"{snapshot_id}-{batch_idx}")
         shutil.rmtree(staging, ignore_errors=True)
 
-        sub = pages.withColumn("bucket", bucket_of(F.col("url"), num_buckets))
-        if len(batch) < num_buckets:
-            sub = sub.filter(F.col("bucket").isin(batch))
+        try:
+            sub = pages.withColumn("bucket", bucket_of(F.col("url"), num_buckets))
+            if len(batch) < num_buckets:
+                sub = sub.filter(F.col("bucket").isin(batch))
 
-        # Bucket-aligned repartition: the url-hash bucket IS the salt (urls
-        # hash uniformly, so host-heavy crawls still spread). Keeping whole
-        # buckets per task means the dynamic-partition write below emits one
-        # file per bucket with a trivial sort, instead of num_tasks ×
-        # num_buckets fragments — the difference between a write that scales
-        # with cores and one that collapses under small-file overhead.
-        # When buckets are too coarse for the requested parallelism, add a
-        # salted secondary key: buckets split across tasks (a few files per
-        # bucket) rather than capping parallelism at num_buckets.
-        # repartitionByRange (not hash-repartition): with one partition per
-        # active bucket, range boundaries land between bucket ids, so every
-        # partition gets exactly ~one whole bucket — hash partitioning on a
-        # low-cardinality key leaves ~1/e of slots empty and stacks 3-4
-        # buckets on others (stragglers in the expensive parse stage).
-        if len(batch) >= 2 * salt_partitions:
-            sub = sub.repartitionByRange(len(batch), F.col("bucket"))
-        else:
-            sub = sub.repartition(max(len(batch), salt_partitions),
-                                  F.col("bucket"),
-                                  F.xxhash64("url", F.lit(0x5A17)))
+            # Bucket-aligned repartition: the url-hash bucket IS the salt (urls
+            # hash uniformly, so host-heavy crawls still spread). Keeping whole
+            # buckets per task means the dynamic-partition write below emits one
+            # file per bucket with a trivial sort, instead of num_tasks ×
+            # num_buckets fragments — the difference between a write that scales
+            # with cores and one that collapses under small-file overhead.
+            # When buckets are too coarse for the requested parallelism, add a
+            # salted secondary key: buckets split across tasks (a few files per
+            # bucket) rather than capping parallelism at num_buckets.
+            # repartitionByRange (not hash-repartition): with one partition per
+            # active bucket, range boundaries land between bucket ids, so every
+            # partition gets exactly ~one whole bucket — hash partitioning on a
+            # low-cardinality key leaves ~1/e of slots empty and stacks 3-4
+            # buckets on others (stragglers in the expensive parse stage).
+            if len(batch) >= 2 * salt_partitions:
+                sub = sub.repartitionByRange(len(batch), F.col("bucket"))
+            else:
+                sub = sub.repartition(max(len(batch), salt_partitions),
+                                      F.col("bucket"),
+                                      F.xxhash64("url", F.lit(0x5A17)))
 
-        # One UDF pass, materialized to a staged doc-level table; chunks /
-        # extracted / stats derive from it via column-pruned JVM-only scans.
-        # Staging-to-parquet beats .persist() here: executor-memory caching
-        # of the wide doc rows (text + chunk structs) thrashes GC as
-        # parallelism grows, while the staged table reads back pruned (the
-        # extracted derivation never touches the chunks column at all).
-        (extract_documents(sub, max_tokens=max_tokens, salt_partitions=None)
-         .withColumn("bucket", bucket_of(F.col("url"), num_buckets))
-         .withColumn("n_chunks", F.size("chunks"))
-         .withColumn("is_error", (F.col("status") == "error").cast("int"))
-         .write.partitionBy("bucket").mode("overwrite")
-         .parquet(os.path.join(staging, "docs")))
-
-        _t1 = _time.time()
-        # schema-specified read: an all-empty batch (no urls hash into
-        # these buckets) writes only _SUCCESS, and an inferred read would
-        # raise UNABLE_TO_INFER_SCHEMA — with the explicit schema the read
-        # is simply empty and the derivations below no-op (no driver-side
-        # filesystem probing; the same read works against object storage)
-        docs_dir = os.path.join(staging, "docs")
-        docs = spark.read.schema(_staged_docs_schema()).parquet(docs_dir)
-
-        # The three derivations are independent reads of the staged docs
-        # table; run them as CONCURRENT Spark jobs (threads share the
-        # session; the scheduler interleaves their stages). Sequential
-        # execution leaves cores idle during each job's fixed
-        # scheduling/commit overhead — measurably worse scaling at high
-        # parallelism for a fixed fraction of the batch wall-clock.
-        from concurrent.futures import ThreadPoolExecutor
-
-        def _write_chunks():
-            (chunks_table(docs)
+            # One UDF pass, materialized to a staged doc-level table; chunks /
+            # extracted / stats derive from it via column-pruned JVM-only scans.
+            # Staging-to-parquet beats .persist() here: executor-memory caching
+            # of the wide doc rows (text + chunk structs) thrashes GC as
+            # parallelism grows, while the staged table reads back pruned (the
+            # extracted derivation never touches the chunks column at all).
+            (extract_documents(sub, max_tokens=max_tokens, salt_partitions=None)
              .withColumn("bucket", bucket_of(F.col("url"), num_buckets))
+             .withColumn("n_chunks", F.size("chunks"))
+             .withColumn("is_error", (F.col("status") == "error").cast("int"))
              .write.partitionBy("bucket").mode("overwrite")
-             .parquet(os.path.join(staging, "chunks")))
+             .parquet(os.path.join(staging, "docs")))
 
-        def _write_extracted():
-            (extracted_table(docs)
-             .withColumn("bucket", bucket_of(F.col("url"), num_buckets))
-             .write.partitionBy("bucket").mode("overwrite")
-             .parquet(os.path.join(staging, "extracted")))
+            _t1 = _time.time()
+            # schema-specified read: an all-empty batch (no urls hash into
+            # these buckets) writes only _SUCCESS, and an inferred read would
+            # raise UNABLE_TO_INFER_SCHEMA — with the explicit schema the read
+            # is simply empty and the derivations below no-op (no driver-side
+            # filesystem probing; the same read works against object storage)
+            docs_dir = os.path.join(staging, "docs")
+            docs = spark.read.schema(_staged_docs_schema()).parquet(docs_dir)
 
-        def _stats():
-            # narrow-column scan over (bucket, n_chunks, is_error)
-            return {
-                row["bucket"]: row
-                for row in docs.groupBy("bucket").agg(
-                    F.count("*").alias("docs"),
-                    F.sum("n_chunks").alias("chunks"),
-                    F.sum("is_error").alias("failures"),
-                ).collect()
-            }
+            # The three derivations are independent reads of the staged docs
+            # table; run them as CONCURRENT Spark jobs (threads share the
+            # session; the scheduler interleaves their stages). Sequential
+            # execution leaves cores idle during each job's fixed
+            # scheduling/commit overhead — measurably worse scaling at high
+            # parallelism for a fixed fraction of the batch wall-clock.
+            from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=3) as pool:
-            f_chunks = pool.submit(_write_chunks)
-            f_extracted = pool.submit(_write_extracted)
-            f_stats = pool.submit(_stats)
-            f_chunks.result()
-            _t2 = _time.time()
-            f_extracted.result()
-            _t3 = _time.time()
-            stats = f_stats.result()
+            def _write_chunks():
+                (chunks_table(docs)
+                 .withColumn("bucket", bucket_of(F.col("url"), num_buckets))
+                 .write.partitionBy("bucket").mode("overwrite")
+                 .parquet(os.path.join(staging, "chunks")))
 
-        _t4 = _time.time()
-        if debug:
-            print(f"[job] batch={batch_idx} udf+stage={_t1 - _t0:.1f}s "
-                  f"chunks={_t2 - _t1:.1f}s extracted={_t3 - _t2:.1f}s "
-                  f"stats={_t4 - _t3:.1f}s", file=sys.stderr)
-        # Check-then-commit under the warehouse commit lock (the Iceberg
-        # optimistic-concurrency validation): if a NEWER snapshot committed
-        # any of these buckets while this batch was computing, completing
-        # the commit would silently roll them back — fail instead; a rerun
-        # rebases on current lineage (same-snapshot concurrent commits are
-        # idempotent duplicates and pass through).
-        with wh.commit_lock(out_dir):
-            conflicts = wh.conflicting_buckets(out_dir, snapshot_id, batch,
-                                               started)
-            if conflicts:
-                raise wh.CommitConflict(conflicts, snapshot_id)
-            wh.commit_buckets(os.path.join(staging, "chunks"),
-                              os.path.join(out_dir, "chunks"), batch)
-            wh.commit_buckets(os.path.join(staging, "extracted"),
-                              os.path.join(out_dir, "extracted"), batch)
+            def _write_extracted():
+                (extracted_table(docs)
+                 .withColumn("bucket", bucket_of(F.col("url"), num_buckets))
+                 .write.partitionBy("bucket").mode("overwrite")
+                 .parquet(os.path.join(staging, "extracted")))
 
-            finished = wh.now()
-            lineage_rows = []
-            for b in batch:
-                s = stats.get(b)
-                lineage_rows.append({
-                    "input_snapshot_id": snapshot_id,
-                    "bucket": b,
-                    "doc_count": int(s["docs"]) if s else 0,
-                    "chunk_count": int(s["chunks"] or 0) if s else 0,
-                    "failure_count": int(s["failures"]) if s else 0,
-                    "started_at": started,
-                    "finished_at": finished,
-                })
-            wh.append_lineage(out_dir, snapshot_id, lineage_rows)
-        shutil.rmtree(staging, ignore_errors=True)
+            def _stats():
+                # narrow-column scan over (bucket, n_chunks, is_error)
+                return {
+                    row["bucket"]: row
+                    for row in docs.groupBy("bucket").agg(
+                        F.count("*").alias("docs"),
+                        F.sum("n_chunks").alias("chunks"),
+                        F.sum("is_error").alias("failures"),
+                    ).collect()
+                }
+
+            with ThreadPoolExecutor(max_workers=3) as pool:
+                f_chunks = pool.submit(_write_chunks)
+                f_extracted = pool.submit(_write_extracted)
+                f_stats = pool.submit(_stats)
+                f_chunks.result()
+                _t2 = _time.time()
+                f_extracted.result()
+                _t3 = _time.time()
+                stats = f_stats.result()
+
+            _t4 = _time.time()
+            if debug:
+                print(f"[job] batch={batch_idx} udf+stage={_t1 - _t0:.1f}s "
+                      f"chunks={_t2 - _t1:.1f}s extracted={_t3 - _t2:.1f}s "
+                      f"stats={_t4 - _t3:.1f}s", file=sys.stderr)
+            # Check-then-commit under the warehouse commit lock (the Iceberg
+            # optimistic-concurrency validation): if a NEWER snapshot committed
+            # any of these buckets while this batch was computing, completing
+            # the commit would silently roll them back — fail instead; a rerun
+            # rebases on current lineage (same-snapshot concurrent commits are
+            # idempotent duplicates and pass through).
+            with wh.commit_lock(out_dir):
+                conflicts = wh.conflicting_buckets(out_dir, snapshot_id, batch,
+                                                   base_ts)
+                if conflicts:
+                    raise wh.CommitConflict(conflicts, snapshot_id)
+                wh.commit_buckets(os.path.join(staging, "chunks"),
+                                  os.path.join(out_dir, "chunks"), batch)
+                wh.commit_buckets(os.path.join(staging, "extracted"),
+                                  os.path.join(out_dir, "extracted"), batch)
+
+                finished = wh.now()
+                lineage_rows = []
+                for b in batch:
+                    s = stats.get(b)
+                    lineage_rows.append({
+                        "input_snapshot_id": snapshot_id,
+                        "bucket": b,
+                        "doc_count": int(s["docs"]) if s else 0,
+                        "chunk_count": int(s["chunks"] or 0) if s else 0,
+                        "failure_count": int(s["failures"]) if s else 0,
+                        "started_at": started,
+                        "finished_at": finished,
+                    })
+                wh.append_lineage(out_dir, snapshot_id, lineage_rows)
+        finally:
+            # a failed batch (incl. CommitConflict) must not leak staged
+            # parquet: the rerun recomputes; only committed tables survive
+            shutil.rmtree(staging, ignore_errors=True)
 
         report.buckets_done += len(batch)
         report.batches.append(batch)
@@ -319,5 +327,58 @@ def delete_urls(spark: SparkSession, out_dir: str, urls: list[str],
         after = (spark.read.option("basePath", table_dir)
                  .parquet(*after_dirs).count() if after_dirs else 0)
         report["rows_deleted"][table] = before - after
+    report["ann_rows_deleted"] = _delete_from_ann(spark, out_dir, urls_df,
+                                                  staging)
     shutil.rmtree(staging, ignore_errors=True)
+
+    # Make the delete VISIBLE to extraction's optimistic-concurrency check:
+    # without a lineage record, an extraction job racing this delete would
+    # pass conflict validation and silently resurrect the deleted urls.
+    del_snap = f"delete-{uuid.uuid4().hex[:12]}"
+    ts = wh.now()
+    wh.append_lineage(out_dir, del_snap, [{
+        "input_snapshot_id": del_snap, "bucket": b, "doc_count": 0,
+        "chunk_count": 0, "failure_count": 0,
+        "started_at": ts, "finished_at": ts} for b in buckets])
     return report
+
+
+def _delete_from_ann(spark: SparkSession, out_dir: str, urls_df,
+                     staging: str) -> dict:
+    """Cascade a url delete into the materialized ANN index (and streaming
+    deltas): a stale index would keep ranking chunks of deleted documents
+    in mode=auto/ann searches. Whole-table rewrite — a url predicate does
+    not align with the bucket/cell partitioning, the same shape Iceberg's
+    DELETE takes on a non-partition predicate."""
+    removed: dict[str, int] = {}
+    jobs = [
+        (os.path.join(out_dir, "ann", "lsh"), ["bucket"]),
+        (os.path.join(out_dir, "ann", "ivf"), ["cell"]),
+        (os.path.join(out_dir, "ann", "mt"), ["table", "bucket"]),
+        (os.path.join(out_dir, "ann_delta"), ["batch", "bucket"]),
+    ]
+    for table_dir, part_cols in jobs:
+        if not os.path.isdir(table_dir):
+            continue
+        if part_cols == ["batch", "bucket"] and not any(
+                d.startswith("batch=") for d in os.listdir(table_dir)):
+            continue  # empty delta tree (post-compaction)
+        df = spark.read.option("basePath", table_dir).parquet(table_dir)
+        if "url" not in df.columns:
+            continue  # index keyed by vec_id (oracle-table build): no cascade
+        before = df.count()
+        kept = df.join(F.broadcast(urls_df), "url", "left_anti")
+        n_kept = kept.count()
+        if n_kept == before:
+            continue  # nothing of these urls in this index
+        tmp = os.path.join(staging, "ann-" + os.path.basename(table_dir))
+        shutil.rmtree(tmp, ignore_errors=True)
+        kept.write.partitionBy(*part_cols).mode("overwrite").parquet(tmp)
+        with wh.commit_lock(out_dir):
+            old = table_dir + ".old"
+            shutil.rmtree(old, ignore_errors=True)
+            os.rename(table_dir, old)
+            os.rename(tmp, table_dir)
+            shutil.rmtree(old, ignore_errors=True)
+        removed[os.path.relpath(table_dir, out_dir)] = before - n_kept
+    return removed

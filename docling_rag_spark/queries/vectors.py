@@ -22,12 +22,19 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from docling_rag_spark.plans.ann_index import (
+    IVF_K as _IVF_K,
+    N_PLANES as _NUM_PLANES,
+)
+
 _TOPK = 10
 # cosine threshold in floor-scaled micro-units; 0.35 sits just under the
 # testdata's top-0.1% pair similarity so the check has non-trivial output
 # (max pairwise cosine in the synthetic embeddings is ~0.51)
 _NEARDUP_MIN_E6 = 350000
-_NUM_PLANES = 8
+# _NUM_PLANES / _IVF_K are imported from plans.ann_index (single source of
+# truth: the index build, the driver-side probe math and the query-side
+# matrices must never drift apart)
 _QUERY_VEC_ID = 0
 
 
@@ -322,8 +329,6 @@ ORDER BY score_e6 DESC, vec_id ASC LIMIT {_TOPK}
 # Catalyst/codegen compile time (the cost is per-QUERY compile, amortized
 # over any real input size; a model-trained quantizer on a real cluster
 # would be a pandas_udf matmul instead).
-
-_IVF_K = 16
 
 
 _CENTROIDS = centroid_matrix(64, _IVF_K)

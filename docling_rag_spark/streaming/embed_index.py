@@ -92,7 +92,8 @@ def ann_probe_candidates(spark: SparkSession, out_dir: str,
     if os.path.isdir(base):
         parts.append(spark.read.parquet(base))
     delta = _delta_dir(out_dir)
-    if os.path.isdir(delta):
+    if os.path.isdir(delta) and any(d.startswith("batch=")
+                                    for d in os.listdir(delta)):
         parts.append(spark.read.option("basePath", delta).parquet(delta)
                      .drop("batch"))
     if not parts:
@@ -113,16 +114,38 @@ def compact_ann_index(spark: SparkSession, out_dir: str) -> dict:
     base = os.path.join(out_dir, "ann", "lsh")
     if not os.path.isdir(delta):
         return {"compacted_batches": 0}
+    # compactor-vs-compactor: a second compactor merging the PRE-swap base
+    # would overwrite the first one's folded deltas; a dedicated long-lease
+    # lock (separate from the short-hold commit lock) serializes whole
+    # compactions
+    with commit_lock(os.path.join(out_dir, "_compaction"),
+                     timeout=10.0, stale_sec=3600.0):
+        return _compact_locked(spark, out_dir, delta, base)
+
+
+def _compact_locked(spark: SparkSession, out_dir: str, delta: str,
+                    base: str) -> dict:
+    from docling_rag_spark.io.warehouse import commit_lock
+
+    # Snapshot the batch list FIRST and compact only those dirs: the stream
+    # keeps writing new batch=<id> dirs while the merge runs, and deleting
+    # the whole delta tree afterwards would destroy batches the merge never
+    # read (their checkpoint entries make them unreplayable — silent loss).
+    batches = [d for d in sorted(os.listdir(delta)) if d.startswith("batch=")]
+    if not batches:
+        return {"compacted_batches": 0}
+    snap_dirs = [os.path.join(delta, d) for d in batches]
+    merged = (spark.read.option("basePath", delta).parquet(*snap_dirs)
+              .drop("batch"))
+    if os.path.isdir(base):
+        merged = merged.unionByName(spark.read.parquet(base))
+    # heavy Spark write OUTSIDE the lock (lock holders must stay short —
+    # a long-held lock trips the stale-steal contract); only the directory
+    # swap + delta removal run inside it
+    tmp = base + f".compact-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    merged.write.partitionBy("bucket").mode("overwrite").parquet(tmp)
     with commit_lock(out_dir):
-        batches = [d for d in sorted(os.listdir(delta))
-                   if d.startswith("batch=")]
-        merged = spark.read.option("basePath", delta).parquet(delta) \
-            .drop("batch")
-        if os.path.isdir(base):
-            merged = merged.unionByName(spark.read.parquet(base))
-        tmp = base + ".compact-tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
-        merged.write.partitionBy("bucket").mode("overwrite").parquet(tmp)
         old = base + ".old"
         shutil.rmtree(old, ignore_errors=True)
         if os.path.isdir(base):
@@ -130,5 +153,6 @@ def compact_ann_index(spark: SparkSession, out_dir: str) -> dict:
         os.makedirs(os.path.dirname(base), exist_ok=True)
         os.rename(tmp, base)
         shutil.rmtree(old, ignore_errors=True)
-        shutil.rmtree(delta, ignore_errors=True)
-        return {"compacted_batches": len(batches)}
+        for d in snap_dirs:  # ONLY the snapshotted batches
+            shutil.rmtree(d, ignore_errors=True)
+    return {"compacted_batches": len(batches)}

@@ -60,3 +60,62 @@ def test_delete_urls_cascade(spark, tmp_path):
     for b, files in chunks_files_after.items():
         for f in files:
             pq.read_table(os.path.join(out, "chunks", b, f))
+
+
+def test_delete_cascades_into_ann_index(spark, tmp_path):
+    """A deleted url must vanish from the materialized ANN index and the
+    streaming deltas — a stale index would keep ranking its chunks in
+    mode=ann searches (review r3 finding)."""
+    from pyspark.sql import functions as F
+
+    from docling_rag_spark.operators.embed import embed_chunks
+    from docling_rag_spark.plans.ann_index import build_ann_index
+    from docling_rag_spark.plans.job import bucket_of
+
+    pages = str(tmp_path / "pages.parquet")
+    out = str(tmp_path / "wh")
+    write_pages_parquet(pages, 60)
+    run_extraction(spark, pages, out, num_buckets=8, salt_partitions=4)
+    chunks = spark.read.parquet(os.path.join(out, "chunks"))
+    (embed_chunks(chunks)
+     .withColumn("bucket", bucket_of(F.col("url"), 8))
+     .write.partitionBy("bucket").mode("overwrite")
+     .parquet(os.path.join(out, "embeddings")))
+    build_ann_index(spark, spark.read.parquet(os.path.join(out, "embeddings")),
+                    os.path.join(out, "ann"), id_cols=("url", "chunk_id"))
+
+    victims = sorted(_chunk_urls(spark, out))[:2]
+    report = delete_urls(spark, out, victims, num_buckets=8)
+    assert report["ann_rows_deleted"].get("ann/lsh", 0) > 0
+    for sub in ("lsh", "ivf", "mt"):
+        idx_urls = {r["url"] for r in
+                    spark.read.parquet(os.path.join(out, "ann", sub))
+                    .select("url").distinct().collect()}
+        assert not (idx_urls & set(victims)), sub
+
+
+def test_delete_is_visible_to_extraction_conflict_check(spark, tmp_path):
+    """An extraction job whose base state predates a concurrent delete must
+    raise CommitConflict instead of silently resurrecting deleted urls."""
+    import pytest
+
+    from docling_rag_spark.io import warehouse as wh
+
+    pages = str(tmp_path / "pages.parquet")
+    out = str(tmp_path / "wh")
+    write_pages_parquet(pages, 40)
+    run_extraction(spark, pages, out, num_buckets=8)
+
+    victims = sorted(_chunk_urls(spark, out))[:1]
+    report = delete_urls(spark, out, victims, num_buckets=8)
+    # simulate the delete landing AFTER a second job read its base state:
+    # push the delete's lineage stamp into the future relative to that job
+    future = wh.now() + 10_000
+    rows = [{"input_snapshot_id": "delete-future", "bucket": b,
+             "doc_count": 0, "chunk_count": 0, "failure_count": 0,
+             "started_at": future, "finished_at": future}
+            for b in report["buckets_rewritten"]]
+    wh.append_lineage(out, "delete-future", rows)
+    with pytest.raises(wh.CommitConflict):
+        run_extraction(spark, pages, out, snapshot_id="snap-rerun",
+                       num_buckets=8)
