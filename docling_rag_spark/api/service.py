@@ -52,10 +52,13 @@ def search_warehouse(spark: SparkSession, warehouse: str, query: str,
             raise FileNotFoundError(
                 f"mode='ann' but no index at {ann_lsh}; run "
                 "scripts/run_embed.py --ann-index first")
+        from docling_rag_spark.streaming.embed_index import (
+            ann_probe_candidates)
         q_vec = [float(v) for v in embed_texts([query])[0]]
         probes = AI.multiprobe_buckets(AI.py_bucket(q_vec))
-        emb = (spark.read.parquet(ann_lsh)
-               .filter(F.col("bucket").isin(probes))
+        # base index + streaming ann_delta batches (docs ingested via
+        # stream_embed_index must be searchable before compaction)
+        emb = (ann_probe_candidates(spark, warehouse, probes)
                .select("url", "chunk_id", "embedding"))
     elif os.path.isdir(emb_path):
         emb = spark.read.parquet(emb_path)

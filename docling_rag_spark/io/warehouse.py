@@ -101,18 +101,39 @@ class commit_lock:
                 return self
             except FileExistsError:
                 try:
-                    age = time.time() - os.stat(self.path).st_mtime
+                    st = os.stat(self.path)
+                    age = time.time() - st.st_mtime
+                    with open(self.path, "rb") as f:
+                        seen_token = f.read()
                 except FileNotFoundError:
                     continue  # released between the failed open and stat
                 if age > self.stale_sec:
                     # atomic steal: only one waiter wins the rename; the
-                    # loser's rename raises and it simply retries
+                    # loser's rename raises and it simply retries. Verify
+                    # the renamed file IS the stale lock we statted — the
+                    # holder may have released and a fresh writer acquired
+                    # between stat and rename; in that case hand it back.
                     stale = self.path + f".stale-{uuid.uuid4().hex[:8]}"
                     try:
                         os.rename(self.path, stale)
-                        os.unlink(stale)
                     except FileNotFoundError:
-                        pass
+                        continue
+                    try:
+                        with open(stale, "rb") as f:
+                            renamed_token = f.read()
+                    except FileNotFoundError:
+                        continue
+                    if renamed_token != seen_token:
+                        # fresh holder's lock: restore it (if the slot is
+                        # already re-taken, the fresh holder lost it to a
+                        # third writer's O_EXCL — irrecoverable without a
+                        # server; window is stat->rename, microseconds)
+                        try:
+                            os.rename(stale, self.path)
+                        except OSError:
+                            os.unlink(stale)
+                        continue
+                    os.unlink(stale)
                     continue
                 if time.time() > deadline:
                     raise TimeoutError(
@@ -127,6 +148,30 @@ class commit_lock:
             os.unlink(self.path)
         except FileNotFoundError:
             pass
+
+
+def recover_swap(final_dir: str) -> None:
+    """Crash recovery for ``swap_dir``: a crash between the two renames
+    leaves ``final`` missing and ``final.old`` holding the only copy —
+    restore it. MUST be called before reading or re-swapping a
+    swap-managed directory; without it the next writer's rmtree of the
+    stale ``.old`` would destroy the sole surviving data."""
+    old = final_dir + ".old"
+    if not os.path.isdir(final_dir) and os.path.isdir(old):
+        os.rename(old, final_dir)
+
+
+def swap_dir(tmp_dir: str, final_dir: str) -> None:
+    """Replace ``final_dir`` with ``tmp_dir`` via the recoverable
+    two-rename protocol (pair with ``recover_swap``)."""
+    recover_swap(final_dir)
+    old = final_dir + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.isdir(final_dir):
+        os.rename(final_dir, old)
+    os.makedirs(os.path.dirname(final_dir), exist_ok=True)
+    os.rename(tmp_dir, final_dir)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def conflicting_buckets(out_dir: str, snapshot_id: str, buckets: list[int],

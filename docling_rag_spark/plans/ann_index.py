@@ -28,7 +28,10 @@ from __future__ import annotations
 import hashlib
 import os
 import tempfile
+import threading
 import uuid
+
+_CODEGEN_TOGGLE_LOCK = threading.Lock()
 
 N_PLANES = 8
 IVF_K = 16
@@ -140,13 +143,17 @@ def build_ann_index(spark, embeddings_df, out_dir: str,
     # of seconds COMPILING them per stage while interpreted evaluation of
     # the same Catalyst expressions is instant and bit-identical. The
     # build is a one-time job, so trade JIT throughput for zero compile.
-    conf = spark.conf
-    prev = conf.get("spark.sql.codegen.wholeStage", "true")
-    conf.set("spark.sql.codegen.wholeStage", "false")
-    try:
-        _write_index_tables(spark, base, dim, out_dir)
-    finally:
-        conf.set("spark.sql.codegen.wholeStage", prev)
+    # the conf is session-global: overlapping builds on a shared session
+    # (HTTP server threads) could interleave save/restore and leave codegen
+    # disabled forever — serialize the toggle in-process
+    with _CODEGEN_TOGGLE_LOCK:
+        conf = spark.conf
+        prev = conf.get("spark.sql.codegen.wholeStage", "true")
+        conf.set("spark.sql.codegen.wholeStage", "false")
+        try:
+            _write_index_tables(spark, base, dim, out_dir)
+        finally:
+            conf.set("spark.sql.codegen.wholeStage", prev)
 
 
 def _write_index_tables(spark, base, dim: int, out_dir: str) -> None:
@@ -204,8 +211,16 @@ def ensure_index(spark, sf_dir: str) -> str:
         os.rename(tmp, final)
     except OSError:  # lost the race: another builder finished first
         shutil.rmtree(tmp, ignore_errors=True)
-    # prune stale indexes of the same source (older mtime/size states)
+    # prune stale indexes of the same source (older mtime/size states) —
+    # only past a grace period: another live process may still be scanning
+    # the predecessor, and yanking its parquet mid-query fails that query
+    import time
     for d in os.listdir(root):
         if d.startswith(f"{path_key}-") and d != os.path.basename(final):
-            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+            stale_path = os.path.join(root, d)
+            try:
+                if time.time() - os.stat(stale_path).st_mtime > 3600:
+                    shutil.rmtree(stale_path, ignore_errors=True)
+            except FileNotFoundError:
+                pass
     return final

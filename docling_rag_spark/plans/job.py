@@ -300,6 +300,21 @@ def delete_urls(spark: SparkSession, out_dir: str, urls: list[str],
     import uuid
     staging = os.path.join(out_dir, "_staging",
                            f"delete-{uuid.uuid4().hex[:12]}")
+    del_snap = f"delete-{uuid.uuid4().hex[:12]}"
+
+    # Make the delete VISIBLE to extraction's optimistic-concurrency check
+    # BEFORE any data moves: appended after the swaps (or worse, after the
+    # long ANN cascade) the record would leave the resurrection window it
+    # exists to close wide open, and a crash mid-delete would never write
+    # it. Written first, a crash merely leaves a conflict record with no
+    # data change — extraction jobs rerun, which is safe.
+    ts = wh.now()
+    with wh.commit_lock(out_dir):
+        wh.append_lineage(out_dir, del_snap, [{
+            "input_snapshot_id": del_snap, "bucket": b, "doc_count": 0,
+            "chunk_count": 0, "failure_count": 0,
+            "started_at": ts, "finished_at": ts} for b in buckets])
+
     for table in tables:
         table_dir = os.path.join(out_dir, table)
         dirs = [wh.bucket_dir(table_dir, b) for b in buckets]
@@ -307,6 +322,7 @@ def delete_urls(spark: SparkSession, out_dir: str, urls: list[str],
         if not dirs:
             report["rows_deleted"][table] = 0
             continue
+        read_ts = wh.now()
         sub = spark.read.option("basePath", table_dir).parquet(*dirs)
         before = sub.count()
         kept = sub.join(F.broadcast(urls_df), "url", "left_anti")
@@ -320,6 +336,14 @@ def delete_urls(spark: SparkSession, out_dir: str, urls: list[str],
             if not os.path.isdir(sdir):
                 os.makedirs(sdir, exist_ok=True)
         with wh.commit_lock(out_dir):
+            # delete's own check-then-commit: an extraction batch that
+            # committed these buckets AFTER our stale read must not be
+            # overwritten by the pre-extraction staged rewrite (its
+            # lineage would still claim the bucket done -> permanent loss)
+            newer = wh.conflicting_buckets(out_dir, del_snap, buckets,
+                                           read_ts)
+            if newer:
+                raise wh.CommitConflict(newer, del_snap)
             wh.commit_buckets(stage_tbl, table_dir, buckets)
         after_dirs = [wh.bucket_dir(table_dir, b) for b in buckets]
         after_dirs = [d for d in after_dirs
@@ -330,16 +354,6 @@ def delete_urls(spark: SparkSession, out_dir: str, urls: list[str],
     report["ann_rows_deleted"] = _delete_from_ann(spark, out_dir, urls_df,
                                                   staging)
     shutil.rmtree(staging, ignore_errors=True)
-
-    # Make the delete VISIBLE to extraction's optimistic-concurrency check:
-    # without a lineage record, an extraction job racing this delete would
-    # pass conflict validation and silently resurrect the deleted urls.
-    del_snap = f"delete-{uuid.uuid4().hex[:12]}"
-    ts = wh.now()
-    wh.append_lineage(out_dir, del_snap, [{
-        "input_snapshot_id": del_snap, "bucket": b, "doc_count": 0,
-        "chunk_count": 0, "failure_count": 0,
-        "started_at": ts, "finished_at": ts} for b in buckets])
     return report
 
 
@@ -347,38 +361,52 @@ def _delete_from_ann(spark: SparkSession, out_dir: str, urls_df,
                      staging: str) -> dict:
     """Cascade a url delete into the materialized ANN index (and streaming
     deltas): a stale index would keep ranking chunks of deleted documents
-    in mode=auto/ann searches. Whole-table rewrite — a url predicate does
-    not align with the bucket/cell partitioning, the same shape Iceberg's
-    DELETE takes on a non-partition predicate."""
+    in mode=auto/ann searches. Base tables get a whole-table rewrite (a
+    url predicate does not align with the bucket/cell partitioning — the
+    same shape Iceberg's DELETE takes on a non-partition predicate);
+    streaming deltas are rewritten per snapshotted ``batch=<id>`` dir so a
+    concurrently running stream's NEW batches are never touched. The whole
+    cascade holds the compaction lock — a compactor staging its merge from
+    the pre-delete base would otherwise resurrect the deleted vectors when
+    it swaps."""
     removed: dict[str, int] = {}
-    jobs = [
-        (os.path.join(out_dir, "ann", "lsh"), ["bucket"]),
-        (os.path.join(out_dir, "ann", "ivf"), ["cell"]),
-        (os.path.join(out_dir, "ann", "mt"), ["table", "bucket"]),
-        (os.path.join(out_dir, "ann_delta"), ["batch", "bucket"]),
-    ]
-    for table_dir, part_cols in jobs:
-        if not os.path.isdir(table_dir):
-            continue
-        if part_cols == ["batch", "bucket"] and not any(
-                d.startswith("batch=") for d in os.listdir(table_dir)):
-            continue  # empty delta tree (post-compaction)
-        df = spark.read.option("basePath", table_dir).parquet(table_dir)
+    ann_root = os.path.join(out_dir, "ann")
+    delta_root = os.path.join(out_dir, "ann_delta")
+    if not (os.path.isdir(ann_root) or os.path.isdir(delta_root)):
+        return removed
+
+    def rewrite(table_dir: str, part_cols: list[str], base_path: str,
+                label: str) -> None:
+        df = spark.read.option("basePath", base_path).parquet(table_dir)
         if "url" not in df.columns:
-            continue  # index keyed by vec_id (oracle-table build): no cascade
+            return  # index keyed by vec_id (oracle-table build): no cascade
         before = df.count()
         kept = df.join(F.broadcast(urls_df), "url", "left_anti")
         n_kept = kept.count()
         if n_kept == before:
-            continue  # nothing of these urls in this index
-        tmp = os.path.join(staging, "ann-" + os.path.basename(table_dir))
+            return  # nothing of these urls here
+        tmp = os.path.join(staging, "ann-" + label.replace("/", "_"))
         shutil.rmtree(tmp, ignore_errors=True)
-        kept.write.partitionBy(*part_cols).mode("overwrite").parquet(tmp)
-        with wh.commit_lock(out_dir):
-            old = table_dir + ".old"
-            shutil.rmtree(old, ignore_errors=True)
-            os.rename(table_dir, old)
-            os.rename(tmp, table_dir)
-            shutil.rmtree(old, ignore_errors=True)
-        removed[os.path.relpath(table_dir, out_dir)] = before - n_kept
+        (kept.drop(*[c for c in part_cols if c == "batch"])
+         .write.partitionBy(*[c for c in part_cols if c != "batch"])
+         .mode("overwrite").parquet(tmp))
+        wh.swap_dir(tmp, table_dir)
+        removed[label] = before - n_kept
+
+    with wh.commit_lock(os.path.join(out_dir, "_compaction"),
+                        timeout=60.0, stale_sec=3600.0):
+        for sub, part_cols in (("lsh", ["bucket"]), ("ivf", ["cell"]),
+                               ("mt", ["table", "bucket"])):
+            table_dir = os.path.join(ann_root, sub)
+            wh.recover_swap(table_dir)
+            if os.path.isdir(table_dir):
+                rewrite(table_dir, part_cols, table_dir, f"ann/{sub}")
+        if os.path.isdir(delta_root):
+            for d in sorted(os.listdir(delta_root)):
+                if not d.startswith("batch="):
+                    continue
+                bdir = os.path.join(delta_root, d)
+                wh.recover_swap(bdir)
+                rewrite(bdir, ["batch", "bucket"], delta_root,
+                        f"ann_delta/{d}")
     return removed

@@ -86,9 +86,15 @@ def stream_embed_index(spark: SparkSession,
 
 def ann_probe_candidates(spark: SparkSession, out_dir: str,
                          buckets: list[int]):
-    """Partition-pruned candidate set across base index + all deltas."""
+    """Partition-pruned candidate set across base index + all deltas.
+    Full-row dedup across the union: a replayed micro-batch (delta landed,
+    checkpoint didn't) can exist both folded into base and as a rewritten
+    delta dir."""
+    from docling_rag_spark.io.warehouse import recover_swap
+
     parts = []
     base = os.path.join(out_dir, "ann", "lsh")
+    recover_swap(base)
     if os.path.isdir(base):
         parts.append(spark.read.parquet(base))
     delta = _delta_dir(out_dir)
@@ -101,6 +107,8 @@ def ann_probe_candidates(spark: SparkSession, out_dir: str,
     df = parts[0]
     for p in parts[1:]:
         df = df.unionByName(p)
+    if len(parts) > 1:
+        df = df.dropDuplicates()
     return df.filter(F.col("bucket").isin([int(b) for b in buckets]))
 
 
@@ -125,12 +133,13 @@ def compact_ann_index(spark: SparkSession, out_dir: str) -> dict:
 
 def _compact_locked(spark: SparkSession, out_dir: str, delta: str,
                     base: str) -> dict:
-    from docling_rag_spark.io.warehouse import commit_lock
+    from docling_rag_spark.io.warehouse import recover_swap, swap_dir
 
     # Snapshot the batch list FIRST and compact only those dirs: the stream
     # keeps writing new batch=<id> dirs while the merge runs, and deleting
     # the whole delta tree afterwards would destroy batches the merge never
     # read (their checkpoint entries make them unreplayable — silent loss).
+    recover_swap(base)  # a crashed prior swap must not lose the old base
     batches = [d for d in sorted(os.listdir(delta)) if d.startswith("batch=")]
     if not batches:
         return {"compacted_batches": 0}
@@ -139,20 +148,15 @@ def _compact_locked(spark: SparkSession, out_dir: str, delta: str,
               .drop("batch"))
     if os.path.isdir(base):
         merged = merged.unionByName(spark.read.parquet(base))
-    # heavy Spark write OUTSIDE the lock (lock holders must stay short —
-    # a long-held lock trips the stale-steal contract); only the directory
-    # swap + delta removal run inside it
+    # full-row dedup: a micro-batch whose delta landed but whose checkpoint
+    # offset did not commit gets REPLAYED by the restarted stream after its
+    # dir was folded here — the replayed rows are byte-identical, so the
+    # merge collapses them instead of double-counting
+    merged = merged.dropDuplicates()
     tmp = base + f".compact-{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
     merged.write.partitionBy("bucket").mode("overwrite").parquet(tmp)
-    with commit_lock(out_dir):
-        old = base + ".old"
-        shutil.rmtree(old, ignore_errors=True)
-        if os.path.isdir(base):
-            os.rename(base, old)
-        os.makedirs(os.path.dirname(base), exist_ok=True)
-        os.rename(tmp, base)
-        shutil.rmtree(old, ignore_errors=True)
-        for d in snap_dirs:  # ONLY the snapshotted batches
-            shutil.rmtree(d, ignore_errors=True)
+    swap_dir(tmp, base)
+    for d in snap_dirs:  # ONLY the snapshotted batches
+        shutil.rmtree(d, ignore_errors=True)
     return {"compacted_batches": len(batches)}
