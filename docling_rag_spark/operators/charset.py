@@ -86,12 +86,34 @@ def _lower_cyrillic_score(text: str) -> int:
     return sum(1 for ch in text if ch in _LOWER_CYR)
 
 
+def _plausible_utf16(data: bytes, codec: str) -> bool:
+    """Guard against 8-bit pages whose first two bytes collide with a
+    UTF-16 BOM: cp1251 'юя' is 0xFE 0xFF (the BE BOM) and 'яю' is the LE
+    BOM, so a Russian page can open with one by accident. Genuine UTF-16
+    decodes to ordinary text; an 8-bit page read as UTF-16 lands almost
+    entirely in the private-use area / stray controls. Probe the head and
+    require the garbage ratio to stay small."""
+    if len(data) % 2:
+        return False
+    probe = data[:4096].decode(codec, errors="replace")
+    if not probe:
+        return True
+    bad = sum(
+        1 for ch in probe
+        if 0xE000 <= ord(ch) <= 0xF8FF      # private use area
+        or ord(ch) == 0xFFFD                # replacement
+        or (ord(ch) < 32 and ch not in "\t\n\r\f")
+        or 0x80 <= ord(ch) <= 0x9F)         # C1 controls
+    return bad <= len(probe) // 20
+
+
 def detect_decode(data: bytes) -> tuple[str, str]:
     """Decode crawl bytes -> (text, codec_used). Never raises."""
     bom = sniff_bom(data)
     if bom:
         codec, n = bom
-        return data[n:].decode(codec, errors="replace"), codec
+        if not codec.startswith("utf-16") or _plausible_utf16(data[n:], codec):
+            return data[n:].decode(codec, errors="replace"), codec
     enc = declared_charset(data[:4096])
     if enc is not None:
         return data.decode(enc, errors="replace"), enc
