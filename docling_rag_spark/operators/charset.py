@@ -94,7 +94,9 @@ def _plausible_utf16(data: bytes, codec: str) -> bool:
     entirely in the private-use area / stray controls. Probe the head and
     require the garbage ratio to stay small."""
     if len(data) % 2:
-        return False
+        # crawler truncation mid-code-unit: judge the even prefix — a
+        # genuine UTF-16 page loses only its final code unit this way
+        data = data[:-1]
     probe = data[:4096].decode(codec, errors="replace")
     if not probe:
         return True

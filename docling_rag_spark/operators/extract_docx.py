@@ -47,17 +47,49 @@ def is_docx(payload: bytes) -> bool:
             and payload.find(b"word/document.xml") != -1)
 
 
+_MC = "{http://schemas.openxmlformats.org/markup-compatibility/2006}"
+
+
 def _run_text(p) -> str:
     out: list[str] = []
-    for node in p.iter():
+
+    def visit(node) -> None:
         tag = node.tag
         if tag == f"{_W}t":
             out.append(node.text or "")
         elif tag == f"{_W}tab":
             out.append("\t")
-        elif tag == f"{_W}br":
+        elif tag in (f"{_W}br", f"{_W}cr"):
             out.append("\n")
+        elif tag == f"{_MC}AlternateContent":
+            # Choice and Fallback carry the SAME content twice (text boxes,
+            # drawings); read exactly one branch or the text duplicates
+            branch = node.find(f"{_MC}Fallback")
+            if branch is None:
+                branch = node.find(f"{_MC}Choice")
+            if branch is not None:
+                for ch in branch:
+                    visit(ch)
+        else:
+            for ch in node:
+                visit(ch)
+
+    for ch in p:
+        visit(ch)
     return "".join(out)
+
+
+def _content_elements(parent):
+    """Direct w:p / w:tbl children, descending through w:sdt content
+    controls (Word wraps TOCs, cover pages, and templated sections in
+    sdt; skipping them silently drops whole sections)."""
+    for child in parent:
+        if child.tag in (f"{_W}p", f"{_W}tbl"):
+            yield child
+        elif child.tag == f"{_W}sdt":
+            content = child.find(f"{_W}sdtContent")
+            if content is not None:
+                yield from _content_elements(content)
 
 
 def _p_style(p) -> str:
@@ -71,8 +103,10 @@ def _table_text(tbl) -> str:
         cells = []
         for tc in tr.findall(f"{_W}tc"):
             cells.append(" ".join(
-                t for t in (_run_text(p).strip()
-                            for p in tc.findall(f"{_W}p")) if t))
+                t for t in (
+                    (_run_text(el) if el.tag == f"{_W}p"
+                     else _table_text(el).replace("\n", " ")).strip()
+                    for el in _content_elements(tc)) if t))
         if any(cells):
             rows.append(" | ".join(cells))
     return "\n".join(rows)
@@ -91,7 +125,7 @@ def extract_docx(payload: bytes) -> list[Block]:
     if body is None:
         return []
     blocks: list[Block] = []
-    for child in body:
+    for child in _content_elements(body):
         if child.tag == f"{_W}p":
             style = _p_style(child)
             text = _run_text(child).strip()

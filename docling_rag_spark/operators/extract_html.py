@@ -60,6 +60,28 @@ class _Node:
 # leaving any real document (depth < 100 in practice) untouched.
 MAX_TREE_DEPTH = 256
 
+# HTML5 implied end tags: an open element whose tag keys this map is
+# auto-closed when any start tag in its value set arrives. Real crawl
+# pages omit </p> </li> </td> </tr> constantly; without this, rows and
+# paragraphs nest instead of closing and table structure collapses.
+_BLOCK_STARTERS = frozenset({
+    "address", "article", "aside", "blockquote", "details", "div", "dl",
+    "fieldset", "figcaption", "figure", "footer", "form", "h1", "h2", "h3",
+    "h4", "h5", "h6", "header", "hr", "main", "menu", "nav", "ol", "p",
+    "pre", "section", "summary", "table", "ul", "li", "dt", "dd",
+})
+_TABLE_SECTIONS = frozenset({"tr", "tbody", "thead", "tfoot"})
+_IMPLIED_END: dict[str, frozenset[str]] = {
+    "p": _BLOCK_STARTERS,
+    "li": frozenset({"li"}),
+    "dt": frozenset({"dt", "dd"}),
+    "dd": frozenset({"dt", "dd"}),
+    "td": frozenset({"td", "th"}) | _TABLE_SECTIONS,
+    "th": frozenset({"td", "th"}) | _TABLE_SECTIONS,
+    "tr": _TABLE_SECTIONS,
+    "option": frozenset({"option", "optgroup"}),
+}
+
 
 class _TreeBuilder(HTMLParser):
     def __init__(self) -> None:
@@ -68,6 +90,9 @@ class _TreeBuilder(HTMLParser):
         self._stack = [self.root]
 
     def handle_starttag(self, tag, attrs):
+        while (len(self._stack) > 1
+               and tag in _IMPLIED_END.get(self._stack[-1].tag, ())):
+            self._stack.pop()
         node = _Node(tag, {k: (v or "") for k, v in attrs})
         self._stack[-1].children.append(node)
         if tag not in _VOID_TAGS and len(self._stack) < MAX_TREE_DEPTH:
@@ -157,8 +182,25 @@ def _serialize_table(node: _Node) -> str:
 
 
 def _pre_text(node: _Node) -> str:
-    text, _ = _inline_text(node)
-    return text.strip("\n").rstrip()
+    """Verbatim code text: <br> and block-level wrappers (div-per-line
+    syntax highlighters) become real newlines, never collapsed spaces."""
+    out: list[str] = []
+
+    def visit(n: _Node) -> None:
+        for ch in n.children:
+            if isinstance(ch, str):
+                out.append(ch)
+            elif ch.tag == "br":
+                out.append("\n")
+            elif _is_boilerplate(ch):
+                continue
+            else:
+                visit(ch)
+                if ch.tag not in _INLINE_TAGS and out and not out[-1].endswith("\n"):
+                    out.append("\n")
+
+    visit(node)
+    return "".join(out).strip("\n").rstrip()
 
 
 class _Walker:

@@ -16,8 +16,13 @@ import re
 
 from docling_rag_spark.operators.blocks import Block
 
-_HEADING_RE = re.compile(r"^(#{1,6})\s+(.*?)\s*#*\s*$")
-_FENCE_RE = re.compile(r"^(```|~~~)\s*(\S*)\s*$")
+# a trailing '#' run is a closing sequence ONLY when whitespace-preceded
+# (CommonMark): '# Intro to C#' keeps its '#', '# foo ##' drops it
+_HEADING_RE = re.compile(r"^(#{1,6})\s+(.*?)(?:\s+#+)?\s*$")
+# opening fence: 3+ backticks/tildes + arbitrary info string (spaces
+# allowed per CommonMark; backtick fences forbid backticks in the info)
+_FENCE_RE = re.compile(r"^(```+|~~~+)(.*)$")
+_CLOSE_FENCE_RE = re.compile(r"^(```+|~~~+)\s*$")
 _TABLE_RE = re.compile(r"^\s*\|.*\|\s*$")
 _LIST_RE = re.compile(r"^\s*(?:[-*+]|\d+[.)])\s+(.*)$")
 # setext underline: '===' -> h1 / '---' -> h2, but ONLY under a pending
@@ -49,12 +54,16 @@ def extract_markdown(text: str) -> list[Block]:
         stripped = line.strip()
 
         fence = _FENCE_RE.match(stripped)
-        if fence:
+        if fence and not (fence.group(1)[0] == "`" and "`" in fence.group(2)):
             flush_para(); flush_items()
             marker = fence.group(1)
             i += 1
             code: list[str] = []
-            while i < n and lines[i].strip() != marker:
+            while i < n:
+                close = _CLOSE_FENCE_RE.match(lines[i].strip())
+                if (close and close.group(1)[0] == marker[0]
+                        and len(close.group(1)) >= len(marker)):
+                    break
                 code.append(lines[i])
                 i += 1
             i += 1  # skip closing fence (or EOF)

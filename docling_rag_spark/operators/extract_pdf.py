@@ -56,11 +56,12 @@ _TEXT_SHOW_RE = re.compile(
     rb"(?:%s|%s)\s*(?:Tj|'|\")|\[(?:[^\]]*)\]\s*TJ" % (_LIT_STR, _HEX_STR),
     re.DOTALL)
 _STRING_RE = re.compile(rb"%s|%s" % (_LIT_STR, _HEX_STR), re.DOTALL)
-_ESCAPE_RE = re.compile(rb"\\([0-7]{1,3}|.)", re.DOTALL)
+_ESCAPE_RE = re.compile(rb"\\(\r\n|[0-7]{1,3}|.)", re.DOTALL)
 _ESCAPE_MAP = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b",
                b"f": b"\f", b"(": b"(", b")": b")", b"\\": b"\\",
-               # escaped line break = line continuation (no character)
-               b"\n": b"", b"\r": b""}
+               # escaped end-of-line marker (LF, CR, or CRLF as ONE marker,
+               # PDF 32000 7.3.4.2) = line continuation -> no character
+               b"\n": b"", b"\r": b"", b"\r\n": b""}
 
 # decompression-bomb cap per stream (64 MiB of inflated bytes)
 MAX_STREAM_BYTES = 64 * 1024 * 1024
@@ -267,18 +268,45 @@ def _decode_string(s: bytes) -> str:
 
     def sub(m: re.Match) -> bytes:
         g = m.group(1)
-        if g[:1].isdigit():
+        # only the [0-7]{1,3} branch is octal; \8 \9 reach here via the
+        # '.' alternative and are unknown escapes -> drop the backslash
+        if g[:1].isdigit() and g[:1] not in (b"8", b"9"):
             return bytes([int(g, 8) & 0xFF])
         return _ESCAPE_MAP.get(g, g)
 
     return _bytes_to_text(_ESCAPE_RE.sub(sub, inner))
 
 
+# elements of a TJ array: strings interleaved with kerning numbers
+_TJ_ELEM_RE = re.compile(
+    rb"%s|%s|[-+]?(?:\d+\.?\d*|\.\d+)" % (_LIT_STR, _HEX_STR), re.DOTALL)
+# a TJ adjustment this negative (thousandths of an em) is an implicit
+# word gap; smaller magnitudes are intra-word kerning and join seamlessly
+_TJ_SPACE_THRESHOLD = -180.0
+
+
 def _page_text(content: bytes) -> str:
     runs: list[str] = []
     for m in _TEXT_SHOW_RE.finditer(content):
-        for sm in _STRING_RE.finditer(m.group(0)):
-            runs.append(_decode_string(sm.group(0)))
+        op = m.group(0)
+        if op.rstrip().endswith(b"TJ"):
+            # one show operation: kerned sub-strings concatenate (no
+            # separator), except a large negative adjustment = word gap
+            parts: list[str] = []
+            for em in _TJ_ELEM_RE.finditer(op[op.find(b"[") + 1:op.rfind(b"]")]):
+                tok = em.group(0)
+                if tok[:1] in (b"(", b"<"):
+                    parts.append(_decode_string(tok))
+                else:
+                    try:
+                        if float(tok) <= _TJ_SPACE_THRESHOLD:
+                            parts.append(" ")
+                    except ValueError:
+                        pass
+            runs.append("".join(parts))
+        else:
+            for sm in _STRING_RE.finditer(op):
+                runs.append(_decode_string(sm.group(0)))
     return "\n".join(r for r in runs if r)
 
 

@@ -69,3 +69,50 @@ def test_docx_zip_bomb_capped(monkeypatch):
     fmt, blocks, status, err = parse_document(payload, None)
     assert (fmt, status) == ("docx", "error")
     assert "refusing decompression" in err
+
+
+def _docx_with_body(body_xml: str) -> bytes:
+    import io
+    import zipfile
+
+    from docling_rag_spark.operators.extract_docx import _CONTENT_TYPES, _RELS
+    ns = ('xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main" '
+          'xmlns:mc="http://schemas.openxmlformats.org/markup-compatibility/2006"')
+    doc = (f'<?xml version="1.0"?><w:document {ns}>'
+           f"<w:body>{body_xml}</w:body></w:document>")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("[Content_Types].xml", _CONTENT_TYPES)
+        z.writestr("_rels/.rels", _RELS)
+        z.writestr("word/document.xml", doc)
+    return buf.getvalue()
+
+
+def test_sdt_content_controls_extracted():
+    """Word wraps TOCs / templated sections in w:sdt content controls;
+    their paragraphs must not be silently dropped."""
+    bs = extract_docx(_docx_with_body(
+        "<w:sdt><w:sdtContent><w:p><w:r><w:t>inside control</w:t></w:r>"
+        "</w:p></w:sdtContent></w:sdt>"))
+    assert [b.text for b in bs] == ["inside control"]
+
+
+def test_alternate_content_read_once():
+    """mc:Choice and mc:Fallback carry the same content twice; exactly
+    one branch is read."""
+    bs = extract_docx(_docx_with_body(
+        "<w:p><w:r><mc:AlternateContent>"
+        "<mc:Choice><w:t>DUP</w:t></mc:Choice>"
+        "<mc:Fallback><w:t>DUP</w:t></mc:Fallback>"
+        "</mc:AlternateContent></w:r></w:p>"))
+    assert [b.text for b in bs] == ["DUP"]
+
+
+def test_sdt_inside_table_cell():
+    bs = extract_docx(_docx_with_body(
+        "<w:tbl><w:tr>"
+        "<w:tc><w:sdt><w:sdtContent><w:p><w:r><w:t>cellA</w:t></w:r></w:p>"
+        "</w:sdtContent></w:sdt></w:tc>"
+        "<w:tc><w:p><w:r><w:t>cellB</w:t></w:r></w:p></w:tc>"
+        "</w:tr></w:tbl>"))
+    assert bs[0].kind == "table" and bs[0].text == "cellA | cellB"

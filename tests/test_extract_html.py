@@ -210,3 +210,30 @@ def test_encoding_column_observability():
     # binary formats / pre-extracted text have no source charset
     assert parse_document_ex(FX.build_scan_pdf(1), None)[4] is None
     assert parse_document_ex(None, "plain wet text")[4] is None
+
+
+def test_implied_end_tags_preserve_table_structure():
+    """Crawl HTML omits </td> </tr> </p> </li> constantly (HTML5 implied
+    end tags); cells and rows must still separate."""
+    bs = extract_html("<table><tr><td>a<td>b<tr><td>c<td>d</table>")
+    assert bs[0].kind == "table" and bs[0].text == "a | b\nc | d"
+
+
+def test_implied_end_tags_split_paragraphs_and_items():
+    bs = extract_html(
+        "<p>First paragraph with enough words to keep."
+        "<p>Second paragraph with enough words to keep.")
+    assert [b.text for b in bs] == [
+        "First paragraph with enough words to keep.",
+        "Second paragraph with enough words to keep."]
+    bs = extract_html(
+        "<ul><li>first item with enough words<li>second item with enough words</ul>")
+    assert bs[0].text == "first item with enough words\nsecond item with enough words"
+
+
+def test_pre_keeps_line_structure():
+    """<br> and div-per-line highlighter wrappers inside <pre> are real
+    newlines — code must stay verbatim, not collapse to one line."""
+    assert extract_html("<pre>line1<br>line2</pre>")[0].text == "line1\nline2"
+    assert extract_html(
+        "<pre><div>line1</div><div>line2</div></pre>")[0].text == "line1\nline2"

@@ -65,3 +65,25 @@ def test_blockquote_text_preserved_markers_stripped():
     assert texts[0] == "quoted wisdom line one and line two"
     assert texts[1] == "nested quote depth two"
     assert texts[2] == "plain after"
+
+
+def test_fence_info_string_with_spaces():
+    """CommonMark allows arbitrary info strings ('```js {highlight}');
+    the opening fence must not be demoted to a paragraph."""
+    bs = extract_markdown(
+        "``` python example\nx = 1\n```\n\nA paragraph after the fence.")
+    assert (bs[0].kind, bs[0].text) == ("code", "x = 1")
+    assert bs[1].text == "A paragraph after the fence."
+
+
+def test_longer_closing_fence_and_backticks_in_code():
+    bs = extract_markdown("````\ncode with ``` inside\n````\nafter para.")
+    assert (bs[0].kind, bs[0].text) == ("code", "code with ``` inside")
+    assert bs[1].text == "after para."
+
+
+def test_heading_keeps_unspaced_trailing_hash():
+    """'# Intro to C#' keeps its '#'; a whitespace-preceded closing
+    sequence ('# foo ##') is still stripped (CommonMark)."""
+    assert extract_markdown("# Intro to C#\n")[0].text == "Intro to C#"
+    assert extract_markdown("# foo ##\n")[0].text == "foo"

@@ -124,3 +124,27 @@ def test_quote_operator_and_line_continuation():
     assert _page_text(content) == "shown via quote"
     content2 = b"BT (split \\\nline) Tj ET"
     assert _page_text(content2) == "split line"
+
+
+def test_invalid_octal_escape_drops_backslash():
+    """PDF 32000 7.3.4.2: \\8 \\9 are not octal; the backslash is dropped
+    and the digit kept — the page must not lose its text to a ValueError."""
+    from docling_rag_spark.operators.extract_pdf import _page_text
+    assert _page_text(rb"BT (oops\8 and \9ok) Tj ET") == "oops8 and 9ok"
+
+
+def test_backslash_crlf_is_one_line_continuation():
+    from docling_rag_spark.operators.extract_pdf import _page_text
+    assert _page_text(b"BT (foo\\\r\nbar) Tj ET") == "foobar"
+    assert _page_text(b"BT (foo\\\rbar) Tj ET") == "foobar"
+
+
+def test_tj_array_joins_kerned_substrings():
+    """Sub-strings of one TJ show op concatenate; only a large negative
+    adjustment (an implicit word gap) inserts a space — kerned words must
+    not split across newlines."""
+    from docling_rag_spark.operators.extract_pdf import _page_text
+    assert _page_text(b"BT [(Hel)-20(lo) -250 (world)] TJ ET") == "Hello world"
+    assert _page_text(b"BT [(a)3(b)] TJ ET") == "ab"
+    # separate show ops still break lines
+    assert _page_text(b"BT (one) Tj (two) Tj ET") == "one\ntwo"
