@@ -170,7 +170,9 @@ def _esc(s: str) -> str:
 
 def build_docx(items: list[tuple[str, object]]) -> bytes:
     """items: ('heading', (level, text)) | ('text'|'code', text)
-    | ('table', [[cell, ...], ...]) → minimal valid .docx bytes."""
+    | ('table', [[cell, ...], ...]) | ('sdt_text', text) → minimal valid
+    .docx bytes ('sdt_text' wraps the paragraph in a w:sdt content
+    control, the shape Word gives TOCs and templated sections)."""
     ns = 'xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"'
     parts: list[str] = [f'<?xml version="1.0" encoding="UTF-8" '
                         f'standalone="yes"?><w:document {ns}><w:body>']
@@ -191,6 +193,11 @@ def build_docx(items: list[tuple[str, object]]) -> bytes:
                     "</w:tc>" for c in row) + "</w:tr>"
                 for row in payload)
             parts.append(f"<w:tbl>{rows}</w:tbl>")
+        elif kind == "sdt_text":
+            parts.append(
+                "<w:sdt><w:sdtPr/><w:sdtContent>"
+                f"<w:p><w:r><w:t>{_esc(str(payload))}</w:t></w:r></w:p>"
+                "</w:sdtContent></w:sdt>")
         else:
             parts.append(f"<w:p><w:r><w:t>{_esc(str(payload))}</w:t></w:r>"
                          "</w:p>")

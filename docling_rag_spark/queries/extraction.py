@@ -36,9 +36,13 @@ def _synth_payload(doc_id: int, text: str) -> tuple[bytes | None, str | None]:
 
     doc_id % 10 spreads the 500 sf0.01 docs over every extractor and
     status tier the reference's parser matrix covers (reference
-    tests/core/test_parser.py:49-183): markdown, boilerplated HTML,
-    docx, digital PDF (ok), scan PDF + crawl text (degraded), broken
-    PDF (error), and a declared-cp1251 HTML charset variant."""
+    tests/core/test_parser.py:49-183): markdown (cls 1 with a
+    spaced-info-string code fence + trailing-# heading), boilerplated
+    HTML (cls 4 with HTML5 omitted end tags — unclosed <p>/<td>/<tr>),
+    docx (odd doc_ids wrap paragraphs in w:sdt content controls),
+    digital PDF (cls 6 odd = Flate Tj, even = TJ kerning arrays), scan
+    PDF + crawl text (degraded), broken PDF (error), and a
+    declared-cp1251 HTML charset variant."""
     import hashlib
     from html import escape
 
@@ -48,9 +52,23 @@ def _synth_payload(doc_id: int, text: str) -> tuple[bytes | None, str | None]:
     words = text.split()
     paras = [" ".join(words[i:i + 30]) for i in range(0, len(words), 30)]
     if cls <= 2:
+        if cls == 1 and len(words) >= 8:
+            # real-markdown shapes: info-string fence + unspaced trailing '#'
+            code = " ".join(words[:8])
+            rest = " ".join(words[8:])
+            return (f"# Document {doc_id} C#\n\n"
+                    f"``` python example {doc_id}\n{code}\n```\n\n"
+                    f"{rest}").encode(), None
         return f"# Document {doc_id}\n\n{text}".encode(), None
     if cls in (3, 4, 9):
-        body = "".join(f"<p>{escape(p)}</p>" for p in paras)
+        if cls == 4:
+            # tag-soup page: omitted </p> + unclosed table cells/rows
+            body = "".join(f"<p>{escape(p)}" for p in paras)
+            cells = [escape(w) for w in (words[:4] + ["x"] * 4)[:4]]
+            body += (f"<table><tr><td>{cells[0]}<td>{cells[1]}"
+                     f"<tr><td>{cells[2]}<td>{cells[3]}</table>")
+        else:
+            body = "".join(f"<p>{escape(p)}</p>" for p in paras)
         nav = '<nav><a href="/">Home</a> <a href="/a">Archive</a></nav>'
         doc = ("<!DOCTYPE html><html><head>"
                + ('<meta charset="windows-1251">' if cls == 9 else "")
@@ -60,14 +78,20 @@ def _synth_payload(doc_id: int, text: str) -> tuple[bytes | None, str | None]:
         return doc.encode("cp1251" if cls == 9 else "utf-8"), None
     if cls == 5:
         from docling_rag_spark.operators.extract_docx import build_docx
-        items = [("heading", (1, f"Document {doc_id}"))]
-        items += [("text", p) for p in paras]
+        items: list[tuple[str, object]] = [
+            ("heading", (1, f"Document {doc_id}"))]
+        # tens digit picks the variant (doc_id % 2 is constant when
+        # doc_id % 10 == 5); both XML shapes must digest identically
+        kind = "sdt_text" if (doc_id // 10) % 2 else "text"
+        items += [(kind, p) for p in paras]
         return build_docx(items), None
     if cls == 6:
         # ≥100 chars per page so the text-layer detector reads 'digital'
         pages = [" ".join(words[i:i + 60]).ljust(100, ".")
                  for i in range(0, len(words), 60)] or ["empty page".ljust(100, ".")]
-        return FX.build_text_pdf(pages, compress=bool(doc_id % 2)), None
+        if (doc_id // 10) % 2:
+            return FX.build_text_pdf(pages, compress=True), None
+        return FX.build_kerned_pdf(pages), None
     if cls == 7:
         return FX.build_scan_pdf(1 + doc_id % 2), text  # degraded via WET
     # cls == 8: structurally broken PDF -> error tier (deterministic junk)

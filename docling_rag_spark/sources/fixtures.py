@@ -95,6 +95,46 @@ def build_unicode_pdf(page_texts: list[str]) -> bytes:
     return _pdf_assemble(bodies)
 
 
+def build_kerned_pdf(page_texts: list[str]) -> bytes:
+    """Digital PDF whose lines are shown as TJ kerning arrays — the shape
+    nearly every professionally-set PDF uses. Words are separated by a
+    -250 adjustment (an implicit word gap, no space character in any
+    string) and words past 6 chars split mid-word with a -20 kern, so the
+    extractor must join sub-strings seamlessly and re-derive spaces from
+    large adjustments to recover the original line."""
+    n = len(page_texts)
+    kids = b" ".join(b"%d 0 R" % (4 + 2 * i) for i in range(n))
+    bodies: list[bytes] = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Count %d /Kids [ %s ] >>" % (n, kids),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    for i, text in enumerate(page_texts):
+        page_num = 4 + 2 * i
+        ops = [b"BT /F1 11 Tf 40 760 Td 14 TL"]
+        for line in text.split("\n"):
+            elems: list[bytes] = []
+            for w, word in enumerate(line.split(" ")):
+                if w:
+                    elems.append(b"-250")
+                if len(word) > 6:
+                    elems.append(b"(" + _pdf_escape(word[:4]) + b")")
+                    elems.append(b"-20")
+                    elems.append(b"(" + _pdf_escape(word[4:]) + b")")
+                else:
+                    elems.append(b"(" + _pdf_escape(word) + b")")
+            ops.append(b"[" + b" ".join(elems) + b"] TJ T*")
+        ops.append(b"ET")
+        stream = b" ".join(ops)
+        bodies.append(
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+            b" /Resources << /Font << /F1 3 0 R >> >>"
+            b" /Contents %d 0 R >>" % (page_num + 1))
+        bodies.append(b"<< /Length %d >>\nstream\n" % len(stream)
+                      + stream + b"\nendstream")
+    return _pdf_assemble(bodies)
+
+
 def _png_up_filter(data: bytes, cols: int) -> bytes:
     """Forward PNG Up-filter (predictor 12) for fixture construction."""
     out = bytearray()
