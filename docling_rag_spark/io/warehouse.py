@@ -158,7 +158,12 @@ def recover_swap(final_dir: str) -> None:
     stale ``.old`` would destroy the sole surviving data."""
     old = final_dir + ".old"
     if not os.path.isdir(final_dir) and os.path.isdir(old):
-        os.rename(old, final_dir)
+        try:
+            os.rename(old, final_dir)
+        except OSError:
+            # a concurrent writer re-created final between the check and
+            # the rename — its copy wins; nothing left to recover
+            pass
 
 
 def swap_dir(tmp_dir: str, final_dir: str) -> None:

@@ -103,6 +103,14 @@ def log_search(out_dir: str, query: str, top_score: float | None) -> str:
     os.makedirs(path, exist_ok=True)
     ts = dt.datetime.now(dt.timezone.utc)
     fname = os.path.join(path, f"part-{ts.timestamp():.6f}.parquet")
-    pd.DataFrame({"query": [query], "top_score": [top_score],
-                  "searched_at": [ts]}).to_parquet(fname)
+    # top_score=None (zero-hit search) must still write a float64 column:
+    # a bare [None] lands as Arrow null type and poisons schema merge for
+    # every later read of the unified searches table
+    score = pd.array([top_score], dtype="float64")
+    # coerce to microseconds: pandas' default TIMESTAMP(NANOS) parquet
+    # type is illegal to Spark's reader, which made the table unreadable
+    # by the engine that serves it
+    pd.DataFrame({"query": [query], "top_score": score,
+                  "searched_at": [ts]}).to_parquet(
+        fname, coerce_timestamps="us", allow_truncated_timestamps=True)
     return fname

@@ -30,8 +30,28 @@ import os
 import tempfile
 import threading
 import uuid
+from contextlib import contextmanager
 
 _CODEGEN_TOGGLE_LOCK = threading.Lock()
+
+
+@contextmanager
+def interpreted_eval(spark):
+    """Run a job with whole-stage codegen off: the bucket/cell expressions
+    embed thousands of literal plane/centroid constants and at dim>=256
+    codegen spends tens of seconds COMPILING them per stage, while
+    interpreted evaluation is instant and bit-identical. The conf is
+    session-global: overlapping jobs on a shared session (HTTP server
+    threads, streaming micro-batches) could interleave save/restore and
+    leave codegen disabled forever — the toggle is serialized in-process."""
+    with _CODEGEN_TOGGLE_LOCK:
+        conf = spark.conf
+        prev = conf.get("spark.sql.codegen.wholeStage", "true")
+        conf.set("spark.sql.codegen.wholeStage", "false")
+        try:
+            yield
+        finally:
+            conf.set("spark.sql.codegen.wholeStage", prev)
 
 N_PLANES = 8
 IVF_K = 16
@@ -143,17 +163,8 @@ def build_ann_index(spark, embeddings_df, out_dir: str,
     # of seconds COMPILING them per stage while interpreted evaluation of
     # the same Catalyst expressions is instant and bit-identical. The
     # build is a one-time job, so trade JIT throughput for zero compile.
-    # the conf is session-global: overlapping builds on a shared session
-    # (HTTP server threads) could interleave save/restore and leave codegen
-    # disabled forever — serialize the toggle in-process
-    with _CODEGEN_TOGGLE_LOCK:
-        conf = spark.conf
-        prev = conf.get("spark.sql.codegen.wholeStage", "true")
-        conf.set("spark.sql.codegen.wholeStage", "false")
-        try:
-            _write_index_tables(spark, base, dim, out_dir)
-        finally:
-            conf.set("spark.sql.codegen.wholeStage", prev)
+    with interpreted_eval(spark):
+        _write_index_tables(spark, base, dim, out_dir)
 
 
 def _write_index_tables(spark, base, dim: int, out_dir: str) -> None:
@@ -216,7 +227,11 @@ def ensure_index(spark, sf_dir: str) -> str:
     # the predecessor, and yanking its parquet mid-query fails that query
     import time
     for d in os.listdir(root):
-        if d.startswith(f"{path_key}-") and d != os.path.basename(final):
+        stale = (d.startswith(f"{path_key}-") and d != os.path.basename(final))
+        # crashed builders leave full .build-* trees behind; a LIVE build
+        # is writing constantly, so an old mtime marks it abandoned
+        orphan = d.startswith(".build-")
+        if stale or orphan:
             stale_path = os.path.join(root, d)
             try:
                 if time.time() - os.stat(stale_path).st_mtime > 3600:

@@ -30,8 +30,9 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from docling_rag_spark.config import CHUNK_MAX_TOKENS
-from docling_rag_spark.operators.pipeline import chunks_table, extract_documents
-from docling_rag_spark.streaming.ingest import PAGES_SCHEMA
+from docling_rag_spark.operators.pipeline import chunks_table
+from docling_rag_spark.streaming.ingest import (extracted_docs_stream,
+                                                start_stream)
 
 
 def _delta_dir(out_dir: str) -> str:
@@ -53,6 +54,8 @@ def stream_embed_index(spark: SparkSession,
     emb_dir = os.path.join(out_dir, "embeddings")
 
     def process_batch(docs, batch_id: int) -> None:
+        from docling_rag_spark.plans.ann_index import interpreted_eval
+
         chunks = chunks_table(docs.filter(F.col("status") != "error"))
         emb = embed_chunks(chunks).persist()
         try:
@@ -62,26 +65,21 @@ def stream_embed_index(spark: SparkSession,
             if first is None:
                 return  # empty batch: embeddings dir written, no delta
             dim = int(first["d"])
-            (emb.withColumn("bucket",
-                            _bucket(F.col("embedding"), plane_matrix(dim)))
-             .write.partitionBy("bucket").mode("overwrite")
-             .parquet(os.path.join(_delta_dir(out_dir),
-                                   f"batch={batch_id}")))
+            # same compile-vs-interpret trade the index build makes: the
+            # dim-wide literal plane matrix would stall every first micro-
+            # batch for tens of seconds of codegen compilation
+            with interpreted_eval(docs.sparkSession):
+                (emb.withColumn(
+                    "bucket", _bucket(F.col("embedding"), plane_matrix(dim)))
+                 .write.partitionBy("bucket").mode("overwrite")
+                 .parquet(os.path.join(_delta_dir(out_dir),
+                                       f"batch={batch_id}")))
         finally:
             emb.unpersist()
 
-    pages = (spark.readStream.schema(PAGES_SCHEMA)
-             .option("maxFilesPerTrigger", "8")
-             .parquet(pages_dir))
-    docs = extract_documents(pages, max_tokens=max_tokens,
-                             salt_partitions=None)
-    writer = (docs.writeStream
-              .foreachBatch(process_batch)
-              .option("checkpointLocation", checkpoint_dir)
-              .outputMode("append"))
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    docs = extracted_docs_stream(spark, pages_dir, max_tokens)
+    writer = docs.writeStream.foreachBatch(process_batch)
+    return start_stream(writer, checkpoint_dir, available_now)
 
 
 def ann_probe_candidates(spark: SparkSession, out_dir: str,
@@ -90,11 +88,20 @@ def ann_probe_candidates(spark: SparkSession, out_dir: str,
     Full-row dedup across the union: a replayed micro-batch (delta landed,
     checkpoint didn't) can exist both folded into base and as a rewritten
     delta dir."""
-    from docling_rag_spark.io.warehouse import recover_swap
+    from docling_rag_spark.io.warehouse import commit_lock, recover_swap
 
     parts = []
     base = os.path.join(out_dir, "ann", "lsh")
-    recover_swap(base)
+    # recovery must not race a live compactor's two-rename swap (both
+    # sides renaming .old/final concurrently breaks the protocol); take
+    # the compaction lock briefly — if a compactor holds it, it runs its
+    # own recovery and the reader proceeds against whatever is visible
+    try:
+        with commit_lock(os.path.join(out_dir, "_compaction"),
+                         timeout=2.0, stale_sec=3600.0):
+            recover_swap(base)
+    except TimeoutError:
+        pass
     if os.path.isdir(base):
         parts.append(spark.read.parquet(base))
     delta = _delta_dir(out_dir)
@@ -112,10 +119,14 @@ def ann_probe_candidates(spark: SparkSession, out_dir: str,
     return df.filter(F.col("bucket").isin([int(b) for b in buckets]))
 
 
-def compact_ann_index(spark: SparkSession, out_dir: str) -> dict:
-    """Fold every delta batch into the flat base layout (Iceberg
+def compact_ann_index(spark: SparkSession, out_dir: str,
+                      include_newest: bool = False) -> dict:
+    """Fold delta batches into the flat base layout (Iceberg
     rewrite-data-files in miniature; run under the warehouse commit lock
-    so it cannot interleave with another compactor)."""
+    so it cannot interleave with another compactor). The newest delta is
+    left in place by default — it is the only batch a crashed stream can
+    replay; pass ``include_newest=True`` only when the stream is known
+    stopped (a drained availableNow run)."""
     from docling_rag_spark.io.warehouse import commit_lock
 
     delta = _delta_dir(out_dir)
@@ -128,11 +139,11 @@ def compact_ann_index(spark: SparkSession, out_dir: str) -> dict:
     # compactions
     with commit_lock(os.path.join(out_dir, "_compaction"),
                      timeout=10.0, stale_sec=3600.0):
-        return _compact_locked(spark, out_dir, delta, base)
+        return _compact_locked(spark, out_dir, delta, base, include_newest)
 
 
 def _compact_locked(spark: SparkSession, out_dir: str, delta: str,
-                    base: str) -> dict:
+                    base: str, include_newest: bool) -> dict:
     from docling_rag_spark.io.warehouse import recover_swap, swap_dir
 
     # Snapshot the batch list FIRST and compact only those dirs: the stream
@@ -141,6 +152,16 @@ def _compact_locked(spark: SparkSession, out_dir: str, delta: str,
     # read (their checkpoint entries make them unreplayable — silent loss).
     recover_swap(base)  # a crashed prior swap must not lose the old base
     batches = [d for d in sorted(os.listdir(delta)) if d.startswith("batch=")]
+    # Exclude the NEWEST batch: a stream that crashed after writing its
+    # delta but before committing the checkpoint offset will REPLAY that
+    # batch (mode=overwrite deletes the files mid-merge — read failure, or
+    # with ignoreMissingFiles silent row loss followed by rmtree of the
+    # replayed dir). Only the last uncommitted batch can replay, so
+    # folding everything strictly older is always safe; the newest folds
+    # once a newer batch lands (or via include_newest on a stopped stream).
+    if batches and not include_newest:
+        newest = max(batches, key=lambda d: int(d.split("=", 1)[1]))
+        batches = [d for d in batches if d != newest]
     if not batches:
         return {"compacted_batches": 0}
     snap_dirs = [os.path.join(delta, d) for d in batches]

@@ -32,6 +32,33 @@ PAGES_SCHEMA = T.StructType([
     T.StructField("lang", T.StringType(), True),
 ])
 
+# one tuning point for every pages stream (the three sibling streams used
+# to carry private copies that could silently diverge)
+MAX_FILES_PER_TRIGGER = 8
+
+
+def extracted_docs_stream(spark: SparkSession, pages_dir: str,
+                          max_tokens: int = CHUNK_MAX_TOKENS):
+    """Shared front half of every ingest stream: file-source over the
+    pages dir -> fused parse+chunk. salt_partitions=None: a micro-batch
+    is already file-granular; the stateless shuffle would only add
+    latency here."""
+    pages = (spark.readStream.schema(PAGES_SCHEMA)
+             .option("maxFilesPerTrigger", str(MAX_FILES_PER_TRIGGER))
+             .parquet(pages_dir))
+    return extract_documents(pages, max_tokens=max_tokens,
+                             salt_partitions=None)
+
+
+def start_stream(writer, checkpoint_dir: str, available_now: bool):
+    """Shared back half: checkpointed append writer, optionally drained
+    with a one-shot availableNow trigger."""
+    writer = (writer.option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
 
 def stream_extract_chunks(spark: SparkSession,
                           pages_dir: str,
@@ -46,22 +73,12 @@ def stream_extract_chunks(spark: SparkSession,
     parquet file dropped into ``pages_dir`` since the last run is parsed
     exactly once.
     """
-    pages = (spark.readStream.schema(PAGES_SCHEMA)
-             .option("maxFilesPerTrigger", "8")
-             .parquet(pages_dir))
-    # salt_partitions=None: a micro-batch is already file-granular; the
-    # stateless shuffle would only add latency here
-    docs = extract_documents(pages, max_tokens=max_tokens,
-                             salt_partitions=None)
+    docs = extracted_docs_stream(spark, pages_dir, max_tokens)
     chunks = chunks_table(docs)
     writer = (chunks.writeStream
               .format("parquet")
-              .option("path", out_dir)
-              .option("checkpointLocation", checkpoint_dir)
-              .outputMode("append"))
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+              .option("path", out_dir))
+    return start_stream(writer, checkpoint_dir, available_now)
 
 
 def stream_ingest_dedup(spark: SparkSession,
@@ -82,7 +99,10 @@ def stream_ingest_dedup(spark: SparkSession,
     current batch's own directory is EXCLUDED from the seen-hash read, so
     a retry does not anti-join its rows away against its failed attempt.
     On Iceberg this whole body is one ``MERGE INTO chunks ... WHEN NOT
-    MATCHED BY content_hash`` per micro-batch.
+    MATCHED BY content_hash`` per micro-batch. A long-running stream
+    accumulates one small index dir per micro-batch — fold them
+    periodically with ``compact_dedup_index`` or the seen-hash read cost
+    grows O(batches) per batch.
     """
     import os
 
@@ -101,15 +121,21 @@ def stream_ingest_dedup(spark: SparkSession,
         w = Window.partitionBy("content_hash").orderBy("url")
         keep = (hashed.withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") == 1).drop("_rn"))
-        prior = []
+        seen_parts = []
         if os.path.isdir(index_dir):
             prior = [os.path.join(index_dir, d)
                      for d in sorted(os.listdir(index_dir))
                      if d.startswith("batch=") and d != f"batch={batch_id}"]
-        if prior:
-            seen = (docs.sparkSession.read
+            if prior:
+                seen_parts.append(
+                    docs.sparkSession.read
                     .option("basePath", index_dir).parquet(*prior)
                     .select("content_hash"))
+        compacted = os.path.join(index_dir, "base")
+        if os.path.isdir(compacted):
+            seen_parts.append(docs.sparkSession.read.parquet(compacted)
+                              .select("content_hash"))
+        for seen in seen_parts:
             keep = keep.join(seen, "content_hash", "left_anti")
         keep = keep.persist()
         try:
@@ -120,15 +146,50 @@ def stream_ingest_dedup(spark: SparkSession,
         finally:
             keep.unpersist()
 
-    pages = (spark.readStream.schema(PAGES_SCHEMA)
-             .option("maxFilesPerTrigger", "8")
-             .parquet(pages_dir))
-    docs = extract_documents(pages, max_tokens=max_tokens,
-                             salt_partitions=None)
-    writer = (docs.writeStream
-              .foreachBatch(process_batch)
-              .option("checkpointLocation", checkpoint_dir)
-              .outputMode("append"))
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    docs = extracted_docs_stream(spark, pages_dir, max_tokens)
+    writer = docs.writeStream.foreachBatch(process_batch)
+    return start_stream(writer, checkpoint_dir, available_now)
+
+
+def compact_dedup_index(spark: SparkSession, out_dir: str,
+                        include_newest: bool = False) -> dict:
+    """Fold accumulated per-micro-batch dedup-index dirs into a single
+    ``base`` dir (mirror of ``compact_ann_index``): bounds the seen-hash
+    read at O(1) dirs instead of O(micro-batches). The newest batch dir is
+    excluded — a crashed stream replays only its last uncommitted batch,
+    and folding it mid-replay races the overwrite (see compact_ann_index).
+    Run under the same long-lease compaction lock."""
+    import os
+    import shutil
+
+    from docling_rag_spark.io.warehouse import (commit_lock, recover_swap,
+                                                swap_dir)
+
+    index_dir = os.path.join(out_dir, "dedup_index")
+    base = os.path.join(index_dir, "base")
+    if not os.path.isdir(index_dir):
+        return {"compacted_batches": 0}
+    with commit_lock(os.path.join(out_dir, "_compaction"),
+                     timeout=10.0, stale_sec=3600.0):
+        recover_swap(base)
+        batches = [d for d in sorted(os.listdir(index_dir))
+                   if d.startswith("batch=")]
+        if batches and not include_newest:
+            newest = max(batches, key=lambda d: int(d.split("=", 1)[1]))
+            batches = [d for d in batches if d != newest]
+        if not batches:
+            return {"compacted_batches": 0}
+        snap_dirs = [os.path.join(index_dir, d) for d in batches]
+        merged = (spark.read.option("basePath", index_dir)
+                  .parquet(*snap_dirs).drop("batch"))
+        if os.path.isdir(base):
+            merged = merged.unionByName(spark.read.parquet(base))
+        merged = merged.dropDuplicates()
+        tmp = base + f".compact-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        merged.coalesce(max(1, spark.sparkContext.defaultParallelism // 4)) \
+              .write.mode("overwrite").parquet(tmp)
+        swap_dir(tmp, base)
+        for d in snap_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        return {"compacted_batches": len(batches)}

@@ -95,14 +95,16 @@ def _session_fn(gap_seconds: float, idle_flush_ms: int | None):
 
 
 def sessionize(events: DataFrame, gap_seconds: float = 1800,
-               idle_flush_ms: int | None = 60_000) -> DataFrame:
+               idle_flush_ms: int | None = None) -> DataFrame:
     """events stream (user_id, ts, …) → closed-session stream.
 
-    ``idle_flush_ms=None`` disables the idle timeout (NoTimeout): open
-    sessions close only when a later event exceeds the gap. Required for
+    ``idle_flush_ms=None`` (the default) disables the idle timeout
+    (NoTimeout): open sessions close only when a later event exceeds the
+    gap. This is the only configuration compatible with
     ``trigger(availableNow)`` drains — pending processing-time timers
     otherwise keep the one-shot trigger spinning empty micro-batches until
-    every timer has fired."""
+    every timer has fired — so the hanging variant is opt-in: pass an
+    explicit ``idle_flush_ms`` only on continuously-triggered streams."""
     timeout = (GroupStateTimeout.NoTimeout if idle_flush_ms is None
                else GroupStateTimeout.ProcessingTimeTimeout)
     return (events.groupBy("user_id")

@@ -118,12 +118,23 @@ def test_resolve_allowed_and_tags_topic(spark):
     assert got == {"u://a", "u://c"}
 
 
-def test_search_log_appends(tmp_path):
+def test_search_log_appends(spark, tmp_path):
+    import math
+    import os
+
     import pandas as pd
     p1 = log_search(str(tmp_path), "q1", 0.42)
     p2 = log_search(str(tmp_path), "q2", None)
     df = pd.concat([pd.read_parquet(p1), pd.read_parquet(p2)])
     assert set(df["query"]) == {"q1", "q2"}
+    # a zero-hit search (top_score=None) must not poison the unified
+    # table with an Arrow null-typed column: Spark reads both files as
+    # one double-typed table
+    sdf = spark.read.parquet(os.path.join(str(tmp_path), "searches"))
+    assert dict(sdf.dtypes)["top_score"] == "double"
+    rows = {r["query"]: r["top_score"] for r in sdf.collect()}
+    assert abs(rows["q1"] - 0.42) < 1e-9
+    assert rows["q2"] is None or math.isnan(rows["q2"])
 
 
 def test_semantic_quality_end_to_end(spark, chunk_emb):

@@ -53,12 +53,19 @@ def test_stream_embed_index_deltas_and_compaction(spark, tmp_path):
     want = all_idx.filter(F.col("bucket").isin(some))
     assert got.count() == want.count() > 0
 
-    # compaction folds deltas into the flat base; candidate set unchanged
+    # default compaction leaves the newest delta (the only batch a
+    # crashed stream can replay); candidate set unchanged either way
     before = sorted(r["url"] + str(r["chunk_id"]) for r in got.collect())
     rep = compact_ann_index(spark, out)
-    assert rep["compacted_batches"] == len(batches)
-    # only the snapshotted batch dirs are removed (a batch landed by a
-    # concurrently running stream after the snapshot must survive)
+    assert rep["compacted_batches"] == len(batches) - 1
+    left = [d for d in os.listdir(delta) if d.startswith("batch=")]
+    assert len(left) == 1
+    mid_df = ann_probe_candidates(spark, out, some)
+    assert before == sorted(r["url"] + str(r["chunk_id"])
+                            for r in mid_df.collect())
+    # a drained stream may fold everything with include_newest=True
+    rep = compact_ann_index(spark, out, include_newest=True)
+    assert rep["compacted_batches"] == 1
     left = [d for d in os.listdir(delta) if d.startswith("batch=")] \
         if os.path.isdir(delta) else []
     assert left == []

@@ -104,3 +104,63 @@ def test_stream_ingest_dedup_bridge(spark, tmp_path):
     idx = spark.read.parquet(os.path.join(out_dir, "dedup_index"))
     assert idx.count() == 3
     assert idx.select("content_hash").distinct().count() == 3
+
+
+def test_compact_dedup_index_bounds_batch_dirs(spark, tmp_path):
+    """compact_dedup_index folds per-micro-batch index dirs into one base
+    dir; dedup correctness is preserved across the fold and the newest
+    batch only folds when the caller attests the stream is stopped."""
+    import pandas as pd
+
+    from docling_rag_spark.streaming.ingest import (compact_dedup_index,
+                                                    stream_ingest_dedup)
+
+    pages_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(pages_dir)
+
+    def page(url, body):
+        return {"url": url, "warc_ts": pd.Timestamp("2026-01-01", tz="UTC"),
+                "html": f"# Title\n\n{body}\n".encode(), "text": None,
+                "lang": "en"}
+
+    body_a = "Shared duplicate paragraph content for the compaction test."
+    body_b = "A different second document body, long enough to keep."
+    _write_slice(pd.DataFrame([page("https://a.example/1.md", body_a)]),
+                 os.path.join(pages_dir, "part-0.parquet"))
+    q = stream_ingest_dedup(spark, pages_dir, out_dir, ckpt)
+    assert q.awaitTermination(120)
+    _write_slice(pd.DataFrame([page("https://a.example/2.md", body_b)]),
+                 os.path.join(pages_dir, "part-1.parquet"))
+    q = stream_ingest_dedup(spark, pages_dir, out_dir, ckpt)
+    assert q.awaitTermination(120)
+
+    index_dir = os.path.join(out_dir, "dedup_index")
+    n_batches = len([d for d in os.listdir(index_dir)
+                     if d.startswith("batch=")])
+    assert n_batches == 2
+    rep = compact_dedup_index(spark, out_dir)
+    assert rep["compacted_batches"] == n_batches - 1
+    assert os.path.isdir(os.path.join(index_dir, "base"))
+
+    # dedup still holds against base + remaining batch dirs
+    body_c = "A third brand-new body for the post-compaction batch run."
+    _write_slice(pd.DataFrame([
+        page("https://b.example/9.md", body_a),   # dup of folded content
+        page("https://b.example/10.md", body_b),  # dup of unfolded batch
+        page("https://b.example/11.md", body_c)]),
+        os.path.join(pages_dir, "part-2.parquet"))
+    q = stream_ingest_dedup(spark, pages_dir, out_dir, ckpt)
+    assert q.awaitTermination(120)
+    chunks = spark.read.parquet(os.path.join(out_dir, "chunks"))
+    urls = {r["url"] for r in chunks.select("url").distinct().collect()}
+    assert urls == {"https://a.example/1.md", "https://a.example/2.md",
+                    "https://b.example/11.md"}
+
+    # full fold on a stopped stream: batch dirs gone, one hash per content
+    rep = compact_dedup_index(spark, out_dir, include_newest=True)
+    assert rep["compacted_batches"] >= 1
+    assert [d for d in os.listdir(index_dir) if d.startswith("batch=")] == []
+    base = spark.read.parquet(os.path.join(index_dir, "base"))
+    assert base.count() == base.select("content_hash").distinct().count() == 3
