@@ -150,13 +150,23 @@ class commit_lock:
             pass
 
 
+def _swap_old_dir(final_dir: str) -> str:
+    """Parking name for the displaced dir during a swap: DOT-prefixed so a
+    crash never leaves a sibling that Spark partition discovery (or a
+    ``startswith('batch=')`` listing filter) would treat as live data —
+    ``ann_delta/batch=5.old`` parsed as partition value '5.old' both
+    resurrects rows and crashes compaction's int() parse."""
+    head, tail = os.path.split(final_dir)
+    return os.path.join(head, f".{tail}.old")
+
+
 def recover_swap(final_dir: str) -> None:
     """Crash recovery for ``swap_dir``: a crash between the two renames
-    leaves ``final`` missing and ``final.old`` holding the only copy —
+    leaves ``final`` missing and the hidden old dir holding the only copy —
     restore it. MUST be called before reading or re-swapping a
     swap-managed directory; without it the next writer's rmtree of the
-    stale ``.old`` would destroy the sole surviving data."""
-    old = final_dir + ".old"
+    stale old dir would destroy the sole surviving data."""
+    old = _swap_old_dir(final_dir)
     if not os.path.isdir(final_dir) and os.path.isdir(old):
         try:
             os.rename(old, final_dir)
@@ -170,7 +180,7 @@ def swap_dir(tmp_dir: str, final_dir: str) -> None:
     """Replace ``final_dir`` with ``tmp_dir`` via the recoverable
     two-rename protocol (pair with ``recover_swap``)."""
     recover_swap(final_dir)
-    old = final_dir + ".old"
+    old = _swap_old_dir(final_dir)
     shutil.rmtree(old, ignore_errors=True)
     if os.path.isdir(final_dir):
         os.rename(final_dir, old)
@@ -195,15 +205,26 @@ def conflicting_buckets(out_dir: str, snapshot_id: str, buckets: list[int],
 
 def commit_buckets(staging_table_dir: str, final_table_dir: str,
                    buckets: list[int]) -> None:
-    """Move staged bucket directories into the table, replacing old ones."""
+    """Move staged bucket directories into the table, replacing old ones.
+
+    Replaced dirs are parked under a DOT-prefixed name before deletion:
+    Spark/Hadoop file listing ignores hidden paths, so a crash between the
+    rename and the rmtree leaves invisible trash instead of a
+    ``bucket=<k>.old-*`` sibling that partition discovery would parse as a
+    live (string-typed!) partition and resurrect the replaced rows."""
     os.makedirs(final_table_dir, exist_ok=True)
+    for e in os.listdir(final_table_dir):
+        if e.startswith(".") and ".old-" in e:  # crashed prior commit
+            shutil.rmtree(os.path.join(final_table_dir, e),
+                          ignore_errors=True)
     for b in buckets:
         src = bucket_dir(staging_table_dir, b)
         dst = bucket_dir(final_table_dir, b)
         if not os.path.isdir(src):
             continue  # bucket had no rows in this batch
         if os.path.isdir(dst):
-            old = dst + f".old-{uuid.uuid4().hex[:8]}"
+            old = os.path.join(final_table_dir,
+                               f".bucket={b}.old-{uuid.uuid4().hex[:8]}")
             os.rename(dst, old)
             shutil.rmtree(old, ignore_errors=True)
         os.rename(src, dst)

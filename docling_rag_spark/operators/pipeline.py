@@ -119,11 +119,14 @@ def extract_documents(pages: DataFrame,
     return cols.mapInPandas(fn, schema=DOC_SCHEMA)
 
 
-def chunks_table(docs: DataFrame) -> DataFrame:
-    """Explode doc rows into the chunk-row contract (FIXTURES.md §2)."""
+def chunks_table(docs: DataFrame,
+                 extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Explode doc rows into the chunk-row contract (FIXTURES.md §2).
+    ``extra_cols`` pass staged columns (e.g. the bucket partition key)
+    through instead of recomputing them per exploded row."""
     c = F.explode("chunks").alias("c")
     return (docs
-            .select("url", c)
+            .select("url", c, *extra_cols)
             .select(
                 "url",
                 F.col("c.chunk_id").alias("chunk_id"),
@@ -134,10 +137,12 @@ def chunks_table(docs: DataFrame) -> DataFrame:
                 F.col("c.headings").alias("headings"),
                 F.col("c.span").alias("span"),
                 F.col("c.token_count").alias("token_count"),
+                *extra_cols,
             ))
 
 
-def extracted_table(docs: DataFrame) -> DataFrame:
+def extracted_table(docs: DataFrame,
+                    extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """Doc-level output: byte-identity comparison target + registry fields.
 
     Uses a precomputed ``n_chunks`` column when present (staged doc tables
@@ -146,7 +151,7 @@ def extracted_table(docs: DataFrame) -> DataFrame:
                 else F.size("chunks"))
     return docs.select("url", "format", "status", "encoding", "error",
                        "title", "lang", "extracted_text", "n_blocks",
-                       n_chunks.alias("n_chunks"), "warc_ts")
+                       n_chunks.alias("n_chunks"), "warc_ts", *extra_cols)
 
 
 def documents_table(extracted: DataFrame) -> DataFrame:

@@ -111,10 +111,18 @@ def run_extraction(
     import time as _time
     debug = os.environ.get("SPARK_GRAFT_DEBUG") == "1"
 
+    # unique per-run suffix: two concurrent runs of the SAME snapshot are
+    # supported (idempotent duplicates), so a deterministic staging path
+    # would let one run rmtree the other's half-written staged tables and
+    # then commit partial buckets with lineage claiming them done
+    import uuid
+    run_id = uuid.uuid4().hex[:12]
+
     for batch_idx, batch in enumerate(batches):
         started = wh.now()
         _t0 = _time.time()
-        staging = os.path.join(staging_root, f"{snapshot_id}-{batch_idx}")
+        staging = os.path.join(staging_root,
+                               f"{snapshot_id}-{batch_idx}-{run_id}")
         shutil.rmtree(staging, ignore_errors=True)
 
         try:
@@ -173,15 +181,16 @@ def run_extraction(
             # parallelism for a fixed fraction of the batch wall-clock.
             from concurrent.futures import ThreadPoolExecutor
 
+            # pass the staged bucket column through instead of re-hashing
+            # every output row (an xxhash64+pmod per chunk after explode,
+            # for a value the staged partitioning already fixed)
             def _write_chunks():
-                (chunks_table(docs)
-                 .withColumn("bucket", bucket_of(F.col("url"), num_buckets))
+                (chunks_table(docs, extra_cols=("bucket",))
                  .write.partitionBy("bucket").mode("overwrite")
                  .parquet(os.path.join(staging, "chunks")))
 
             def _write_extracted():
-                (extracted_table(docs)
-                 .withColumn("bucket", bucket_of(F.col("url"), num_buckets))
+                (extracted_table(docs, extra_cols=("bucket",))
                  .write.partitionBy("bucket").mode("overwrite")
                  .parquet(os.path.join(staging, "extracted")))
 
@@ -277,10 +286,11 @@ def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
 def delete_urls(spark: SparkSession, out_dir: str, urls: list[str],
                 num_buckets: int = DEFAULT_NUM_BUCKETS,
                 tables: tuple[str, ...] = ("chunks", "extracted",
-                                           "embeddings")) -> dict:
+                                           "embeddings", "registry")) -> dict:
     """Delete documents by url across all warehouse tables (reference
     ``cli delete`` + the documents→chunks FK cascade, db_schema.py:27,
-    cli/commands.py:268-269).
+    cli/commands.py:268-269) — including the registry card table and any
+    streaming-written ``batch=<id>`` layout of the same tables.
 
     Iceberg-wise this is ``DELETE FROM t WHERE url IN (...)``; here it is a
     *bucket-local rewrite*: only the url-hash buckets that can contain the
@@ -300,6 +310,7 @@ def delete_urls(spark: SparkSession, out_dir: str, urls: list[str],
     import uuid
     staging = os.path.join(out_dir, "_staging",
                            f"delete-{uuid.uuid4().hex[:12]}")
+    os.makedirs(staging, exist_ok=True)
     del_snap = f"delete-{uuid.uuid4().hex[:12]}"
 
     # Make the delete VISIBLE to extraction's optimistic-concurrency check
@@ -315,46 +326,113 @@ def delete_urls(spark: SparkSession, out_dir: str, urls: list[str],
             "chunk_count": 0, "failure_count": 0,
             "started_at": ts, "finished_at": ts} for b in buckets])
 
-    for table in tables:
-        table_dir = os.path.join(out_dir, table)
-        dirs = [wh.bucket_dir(table_dir, b) for b in buckets]
-        dirs = [d for d in dirs if os.path.isdir(d)]
-        if not dirs:
-            report["rows_deleted"][table] = 0
-            continue
-        read_ts = wh.now()
-        sub = spark.read.option("basePath", table_dir).parquet(*dirs)
-        before = sub.count()
-        kept = sub.join(F.broadcast(urls_df), "url", "left_anti")
-        stage_tbl = os.path.join(staging, table)
-        shutil.rmtree(stage_tbl, ignore_errors=True)
-        (kept.repartition(max(len(buckets), 1), F.col("bucket"))
-         .write.partitionBy("bucket").mode("overwrite").parquet(stage_tbl))
-        # buckets that became empty still need their old dir replaced
-        for b in buckets:
-            sdir = wh.bucket_dir(stage_tbl, b)
-            if not os.path.isdir(sdir):
-                os.makedirs(sdir, exist_ok=True)
-        with wh.commit_lock(out_dir):
-            # delete's own check-then-commit: an extraction batch that
-            # committed these buckets AFTER our stale read must not be
-            # overwritten by the pre-extraction staged rewrite (its
-            # lineage would still claim the bucket done -> permanent loss)
-            newer = wh.conflicting_buckets(out_dir, del_snap, buckets,
-                                           read_ts)
-            if newer:
-                raise wh.CommitConflict(newer, del_snap)
-            wh.commit_buckets(stage_tbl, table_dir, buckets)
-        after_dirs = [wh.bucket_dir(table_dir, b) for b in buckets]
-        after_dirs = [d for d in after_dirs
-                      if os.path.isdir(d) and os.listdir(d)]
-        after = (spark.read.option("basePath", table_dir)
-                 .parquet(*after_dirs).count() if after_dirs else 0)
-        report["rows_deleted"][table] = before - after
-    report["ann_rows_deleted"] = _delete_from_ann(spark, out_dir, urls_df,
-                                                  staging)
-    shutil.rmtree(staging, ignore_errors=True)
+    try:
+        for table in tables:
+            table_dir = os.path.join(out_dir, table)
+            deleted = _delete_bucketed(spark, out_dir, table_dir, urls_df,
+                                       buckets, staging, table, del_snap)
+            deleted += _delete_batch_dirs(spark, table_dir, urls_df, staging,
+                                          table)
+            report["rows_deleted"][table] = deleted
+        report["ann_rows_deleted"] = _delete_from_ann(spark, out_dir,
+                                                      urls_df, staging)
+    finally:
+        # a CommitConflict / failed write must not leak staged parquet
+        # (it would also keep the _staging root non-removable forever)
+        shutil.rmtree(staging, ignore_errors=True)
     return report
+
+
+def _delete_bucketed(spark, out_dir: str, table_dir: str, urls_df,
+                     buckets: list[int], staging: str, table: str,
+                     del_snap: str) -> int:
+    """Bucket-local anti-join rewrite of one bucketed table; returns rows
+    deleted (counted from the staged output — no post-commit rescan, which
+    a concurrent extraction commit could skew negative)."""
+    dirs = [wh.bucket_dir(table_dir, b) for b in buckets]
+    dirs = [d for d in dirs if os.path.isdir(d)]
+    if not dirs:
+        return 0
+    read_ts = wh.now()
+    sub = spark.read.option("basePath", table_dir).parquet(*dirs)
+    before = sub.count()
+    kept = sub.join(F.broadcast(urls_df), "url", "left_anti")
+    stage_tbl = os.path.join(staging, table)
+    shutil.rmtree(stage_tbl, ignore_errors=True)
+    (kept.repartition(max(len(buckets), 1), F.col("bucket"))
+     .write.partitionBy("bucket").mode("overwrite").parquet(stage_tbl))
+    # a zero-row partitionBy write leaves only _SUCCESS: no files to infer
+    # a schema from, so probe for parquet parts before reading back
+    import glob
+    has_parts = bool(glob.glob(os.path.join(stage_tbl, "bucket=*",
+                                            "*.parquet")))
+    kept_n = (spark.read.option("basePath", stage_tbl).parquet(stage_tbl)
+              .count() if has_parts else 0)
+    # buckets that became empty still need their old dir replaced
+    for b in buckets:
+        sdir = wh.bucket_dir(stage_tbl, b)
+        if not os.path.isdir(sdir):
+            os.makedirs(sdir, exist_ok=True)
+    if kept_n == 0:
+        # full wipe: a table of only file-less bucket dirs fails schema
+        # inference on every later read — pin the schema with one
+        # zero-row parquet file (what an Iceberg table keeps in metadata)
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        import pyarrow.parquet as _pq
+        empty = to_arrow_schema(kept.drop("bucket").schema).empty_table()
+        _pq.write_table(empty, os.path.join(
+            wh.bucket_dir(stage_tbl, buckets[0]), "part-00000-empty.parquet"))
+    with wh.commit_lock(out_dir):
+        # delete's own check-then-commit: an extraction batch that
+        # committed these buckets AFTER our stale read must not be
+        # overwritten by the pre-extraction staged rewrite (its
+        # lineage would still claim the bucket done -> permanent loss)
+        newer = wh.conflicting_buckets(out_dir, del_snap, buckets, read_ts)
+        if newer:
+            raise wh.CommitConflict(newer, del_snap)
+        wh.commit_buckets(stage_tbl, table_dir, buckets)
+    return before - kept_n
+
+
+def _delete_batch_dirs(spark, table_dir: str, urls_df, staging: str,
+                       table: str) -> int:
+    """Cascade into a streaming-written ``batch=<id>`` layout of the same
+    table (stream_extract_chunks/stream_ingest_dedup/stream_embed_index
+    output): without this, exact-mode search over streaming embeddings
+    keeps returning deleted documents forever. Each snapshotted batch dir
+    is rewritten in place via the recoverable swap."""
+    if not os.path.isdir(table_dir):
+        return 0
+    batch_dirs = [d for d in sorted(os.listdir(table_dir))
+                  if d.startswith("batch=")]
+    deleted = 0
+    for i, d in enumerate(batch_dirs):
+        bdir = os.path.join(table_dir, d)
+        wh.recover_swap(bdir)
+        df = spark.read.option("basePath", table_dir).parquet(bdir) \
+            .drop("batch")
+        if "url" not in df.columns:
+            return 0
+        before = df.count()
+        kept = df.join(F.broadcast(urls_df), "url", "left_anti")
+        n_kept = kept.count()
+        if n_kept == before:
+            continue
+        if n_kept == 0:
+            # no rows survive: drop the batch dir (a file-less rewrite
+            # would break schema inference on later whole-table reads)
+            trash = os.path.join(staging, f".gone-{table}-batch-{i}")
+            os.rename(bdir, trash)
+            shutil.rmtree(trash, ignore_errors=True)
+            deleted += before
+            continue
+        tmp = os.path.join(staging, f"{table}-batch-{i}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        kept.write.mode("overwrite").parquet(tmp)
+        wh.swap_dir(tmp, bdir)
+        deleted += before - n_kept
+    return deleted
 
 
 def _delete_from_ann(spark: SparkSession, out_dir: str, urls_df,
@@ -385,6 +463,17 @@ def _delete_from_ann(spark: SparkSession, out_dir: str, urls_df,
         n_kept = kept.count()
         if n_kept == before:
             return  # nothing of these urls here
+        if n_kept == 0:
+            # a partitionBy write of zero rows yields a file-less dir
+            # (only _SUCCESS) whose later read fails schema inference —
+            # remove the index dir outright; readers treat a missing
+            # index as empty / fall back to other tiers
+            trash = os.path.join(staging,
+                                 ".gone-" + label.replace("/", "_"))
+            os.rename(table_dir, trash)
+            shutil.rmtree(trash, ignore_errors=True)
+            removed[label] = before
+            return
         tmp = os.path.join(staging, "ann-" + label.replace("/", "_"))
         shutil.rmtree(tmp, ignore_errors=True)
         (kept.drop(*[c for c in part_cols if c == "batch"])

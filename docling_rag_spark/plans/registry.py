@@ -110,11 +110,13 @@ def upsert_documents(existing: DataFrame, updates: DataFrame) -> DataFrame:
 
     cols = [url.alias("url")]
     for c in REGISTRY_COLS[1:]:
+        if c not in existing.columns and c not in updates.columns:
+            continue  # partial-column update: absent on BOTH sides
         if c == "tags":
             cols.append(tags.alias("tags"))
         elif c == "added_at":
             cols.append(added_at.alias("added_at"))
-        elif c in existing.columns or c in updates.columns:
+        else:
             cols.append(scalar(c).alias(c))
     return joined.select(*cols)
 
@@ -142,30 +144,57 @@ def upsert_registry_table(spark, out_dir: str, updates: DataFrame,
         r["bucket"] for r in updates.select(
             bucket_of(F.col("url"), num_buckets).alias("bucket"))
         .distinct().collect()})
-    dirs = [wh.bucket_dir(table_dir, b) for b in buckets]
-    dirs = [d for d in dirs if os.path.isdir(d)]
-    if dirs:
-        existing = (spark.read.option("basePath", table_dir).parquet(*dirs)
-                    .drop("bucket"))
-    else:
-        existing = spark.createDataFrame(
-            [], updates.select(*[c for c in updates.columns]).schema)
-    merged = upsert_documents(existing, updates)
-    # unique per-invocation staging dir (same rationale as delete_urls:
-    # concurrent writers must never share a staging path)
+
+    def bucket_sig():
+        # per-bucket (inode, mtime) signature: commit_buckets replaces the
+        # whole dir via rename, so any concurrent commit changes it
+        sig = {}
+        for b in buckets:
+            d = wh.bucket_dir(table_dir, b)
+            try:
+                st = os.stat(d)
+                sig[b] = (st.st_ino, st.st_mtime_ns)
+            except FileNotFoundError:
+                sig[b] = None
+        return sig
+
     import uuid
-    staging = os.path.join(out_dir, "_staging",
-                           f"registry-{uuid.uuid4().hex[:12]}")
-    shutil.rmtree(staging, ignore_errors=True)
-    (merged.withColumn("bucket", bucket_of(F.col("url"), num_buckets))
-     .repartition(max(len(buckets), 1), F.col("bucket"))
-     .write.partitionBy("bucket").mode("overwrite").parquet(staging))
-    # buckets that vanished entirely still need their old dir replaced
-    for b in buckets:
-        sdir = wh.bucket_dir(staging, b)
-        if not os.path.isdir(sdir):
-            os.makedirs(sdir, exist_ok=True)
-    with wh.commit_lock(out_dir):
-        wh.commit_buckets(staging, table_dir, buckets)
-    shutil.rmtree(staging, ignore_errors=True)
-    return {"buckets_rewritten": buckets}
+    # Optimistic read-merge-commit with conflict retry: the read-merge runs
+    # OUTSIDE the lock (Spark work must not hold it), so a concurrent
+    # upsert to the same bucket could commit between our read and our
+    # commit — last-write-wins would silently drop its fields. The bucket
+    # signature taken at read time is re-checked under the lock; a change
+    # restarts the merge against the fresh base.
+    for _attempt in range(5):
+        base_sig = bucket_sig()
+        dirs = [wh.bucket_dir(table_dir, b) for b in buckets]
+        dirs = [d for d in dirs if os.path.isdir(d)]
+        if dirs:
+            existing = (spark.read.option("basePath", table_dir)
+                        .parquet(*dirs).drop("bucket"))
+        else:
+            existing = spark.createDataFrame(
+                [], updates.select(*[c for c in updates.columns]).schema)
+        merged = upsert_documents(existing, updates)
+        # unique per-invocation staging dir (same rationale as delete_urls:
+        # concurrent writers must never share a staging path)
+        staging = os.path.join(out_dir, "_staging",
+                               f"registry-{uuid.uuid4().hex[:12]}")
+        shutil.rmtree(staging, ignore_errors=True)
+        (merged.withColumn("bucket", bucket_of(F.col("url"), num_buckets))
+         .repartition(max(len(buckets), 1), F.col("bucket"))
+         .write.partitionBy("bucket").mode("overwrite").parquet(staging))
+        # buckets that vanished entirely still need their old dir replaced
+        for b in buckets:
+            sdir = wh.bucket_dir(staging, b)
+            if not os.path.isdir(sdir):
+                os.makedirs(sdir, exist_ok=True)
+        try:
+            with wh.commit_lock(out_dir):
+                if bucket_sig() != base_sig:
+                    continue  # concurrent commit: re-merge on fresh base
+                wh.commit_buckets(staging, table_dir, buckets)
+                return {"buckets_rewritten": buckets}
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+    raise wh.CommitConflict(buckets, "registry-upsert")

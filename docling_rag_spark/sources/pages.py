@@ -208,10 +208,18 @@ def generate_pages(n_docs: int, seed: int = 42,
                    heaviness: int = 1) -> pd.DataFrame:
     """``heaviness`` multiplies generated content size (default 1 keeps the
     test goldens stable); the scaling bench uses >1 so per-doc parse cost
-    approximates real Common-Crawl page sizes."""
+    approximates real Common-Crawl page sizes. With ``include_fixtures``
+    the full fixture set always ships, so the result has
+    ``max(n_docs, len(FIXTURE_ROWS))`` rows."""
     rows = list(FIXTURE_ROWS) if include_fixtures else []
     rows.extend(_row(i, seed, heaviness=heaviness)
                 for i in range(max(0, n_docs - len(rows))))
+    if not rows:
+        return pd.DataFrame({"url": pd.Series(dtype="object"),
+                             "warc_ts": pd.Series(dtype="datetime64[us, UTC]"),
+                             "html": pd.Series(dtype="object"),
+                             "text": pd.Series(dtype="object"),
+                             "lang": pd.Series(dtype="object")})
     urls, htmls, texts, langs = zip(*rows)
     ts = [_EPOCH + dt.timedelta(seconds=37 * i) for i in range(len(rows))]
     return pd.DataFrame({
