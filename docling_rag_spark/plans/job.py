@@ -54,6 +54,7 @@ class ExtractionReport:
     doc_count: int = 0
     chunk_count: int = 0
     failure_count: int = 0
+    docs_unchanged: int = 0
     batches: list[list[int]] = field(default_factory=list)
 
 
@@ -83,9 +84,32 @@ def run_extraction(
     buckets_per_batch: int | None = None,
     max_tokens: int = CHUNK_MAX_TOKENS,
     salt_partitions: int = DEFAULT_SALT_PARTITIONS,
+    mode: str = "overwrite",
     _fail_after_batches: int | None = None,
 ) -> ExtractionReport:
-    """Run (or resume) the extraction job. Idempotent per snapshot_id."""
+    """Run (or resume) the extraction job. Idempotent per snapshot_id.
+
+    ``mode="overwrite"`` (default) replaces each bucket with this
+    snapshot's extraction — the full-reindex semantics of the reference's
+    indexing loop (core/indexer.py:66-116).
+
+    ``mode="merge"`` is the incremental-crawl path (Iceberg
+    ``MERGE INTO`` on the natural key, the upsert shape of the
+    reference's registry MERGE, db_registry.py:31-45): only pages that
+    are NEW or STRICTLY NEWER (``warc_ts``) than their committed
+    extraction are parsed; each touched bucket is rewritten as
+    (existing rows minus re-extracted urls) ∪ (new rows) — copy-on-write
+    at bucket granularity, so rewrite amplification is bounded by
+    ``buckets_per_batch`` and untouched buckets are never opened. A
+    re-crawl that fails to parse still replaces the old row (latest
+    attempt is truth; the error tier is queryable). Change detection
+    runs on narrow ``(url, warc_ts)`` column scans — page html bytes
+    are never shuffled for unchanged urls. At Iceberg scale both sides
+    of the url join are bucketed by url-hash, making it a
+    storage-partitioned join with no shuffle at all.
+    """
+    if mode not in ("overwrite", "merge"):
+        raise ValueError(f"mode must be 'overwrite' or 'merge', got {mode!r}")
     pages = spark.read.parquet(pages_path)
 
     # conflict base: the instant this job read its base state. Using the
@@ -129,6 +153,10 @@ def run_extraction(
             sub = pages.withColumn("bucket", bucket_of(F.col("url"), num_buckets))
             if len(batch) < num_buckets:
                 sub = sub.filter(F.col("bucket").isin(batch))
+
+            if mode == "merge":
+                sub, n_unchanged = _changed_pages(spark, sub, out_dir, batch)
+                report.docs_unchanged += n_unchanged
 
             # Bucket-aligned repartition: the url-hash bucket IS the salt (urls
             # hash uniformly, so host-heavy crawls still spread). Keeping whole
@@ -181,19 +209,6 @@ def run_extraction(
             # parallelism for a fixed fraction of the batch wall-clock.
             from concurrent.futures import ThreadPoolExecutor
 
-            # pass the staged bucket column through instead of re-hashing
-            # every output row (an xxhash64+pmod per chunk after explode,
-            # for a value the staged partitioning already fixed)
-            def _write_chunks():
-                (chunks_table(docs, extra_cols=("bucket",))
-                 .write.partitionBy("bucket").mode("overwrite")
-                 .parquet(os.path.join(staging, "chunks")))
-
-            def _write_extracted():
-                (extracted_table(docs, extra_cols=("bucket",))
-                 .write.partitionBy("bucket").mode("overwrite")
-                 .parquet(os.path.join(staging, "extracted")))
-
             def _stats():
                 # narrow-column scan over (bucket, n_chunks, is_error)
                 return {
@@ -205,15 +220,51 @@ def run_extraction(
                     ).collect()
                 }
 
+            # merge mode: stats go FIRST (a cheap 3-column scan) so the
+            # merged writes below open ONLY buckets that received new
+            # docs — a bucket of this batch with zero changed pages keeps
+            # its committed dir untouched (no staged dir -> commit skips)
+            old_chunks = old_extracted = new_urls = None
+            if mode == "merge":
+                stats = _stats()
+                active = sorted(stats)
+                new_urls = docs.select("url")
+                old_chunks = _committed_bucket_rows(
+                    spark, os.path.join(out_dir, "chunks"), active)
+                old_extracted = _committed_bucket_rows(
+                    spark, os.path.join(out_dir, "extracted"), active)
+
+            # pass the staged bucket column through instead of re-hashing
+            # every output row (an xxhash64+pmod per chunk after explode,
+            # for a value the staged partitioning already fixed)
+            def _write_chunks():
+                new = chunks_table(docs, extra_cols=("bucket",))
+                if old_chunks is not None:
+                    # copy-on-write MERGE: existing rows of re-extracted
+                    # urls are replaced; everything else carries over
+                    new = (old_chunks.join(new_urls, "url", "left_anti")
+                           .unionByName(new))
+                (new.write.partitionBy("bucket").mode("overwrite")
+                 .parquet(os.path.join(staging, "chunks")))
+
+            def _write_extracted():
+                new = extracted_table(docs, extra_cols=("bucket",))
+                if old_extracted is not None:
+                    new = (old_extracted.join(new_urls, "url", "left_anti")
+                           .unionByName(new))
+                (new.write.partitionBy("bucket").mode("overwrite")
+                 .parquet(os.path.join(staging, "extracted")))
+
             with ThreadPoolExecutor(max_workers=3) as pool:
                 f_chunks = pool.submit(_write_chunks)
                 f_extracted = pool.submit(_write_extracted)
-                f_stats = pool.submit(_stats)
+                f_stats = (pool.submit(_stats) if mode != "merge" else None)
                 f_chunks.result()
                 _t2 = _time.time()
                 f_extracted.result()
                 _t3 = _time.time()
-                stats = f_stats.result()
+                if f_stats is not None:
+                    stats = f_stats.result()
 
             _t4 = _time.time()
             if debug:
@@ -273,6 +324,60 @@ def run_extraction(
     except OSError:
         pass  # non-empty (another writer's staging) or already gone
     return report
+
+
+def _changed_pages(spark, sub: DataFrame, out_dir: str,
+                   batch: list[int]) -> tuple[DataFrame, int]:
+    """Merge-mode change detection for one bucket batch.
+
+    Keeps only pages that are NEW (url absent from the committed
+    ``extracted`` table) or NEWER (``warc_ts`` strictly greater than the
+    committed row's). Crawl snapshots re-fetch: the same url can appear
+    several times in one snapshot, so the latest ``warc_ts`` per url wins
+    first; exact (url, warc_ts) duplicates are collapsed deterministically
+    by content hash. All decisions run over narrow (url, warc_ts) column
+    scans — unchanged pages' html bytes never enter a shuffle."""
+    from pyspark.sql import Window
+
+    latest = (sub.select("url", "warc_ts")
+              .groupBy("url").agg(F.max("warc_ts").alias("warc_ts")))
+
+    table_dir = os.path.join(out_dir, "extracted")
+    dirs = [wh.bucket_dir(table_dir, b) for b in batch]
+    dirs = [d for d in dirs if os.path.isdir(d)]
+    if dirs:
+        done = (spark.read.option("basePath", table_dir).parquet(*dirs)
+                .select("url", F.col("warc_ts").alias("_done_ts")))
+        changed_keys = (latest.join(done, "url", "left")
+                        .filter(F.col("_done_ts").isNull()
+                                | (F.col("warc_ts") > F.col("_done_ts")))
+                        .select("url", "warc_ts"))
+    else:
+        changed_keys = latest
+
+    n_latest = latest.count()
+    n_changed = changed_keys.count()
+
+    sub = sub.join(changed_keys, ["url", "warc_ts"], "left_semi")
+    # collapse exact (url, warc_ts) duplicates deterministically (shuffles
+    # only the changed subset, which the parse stage repartitions anyway)
+    w = Window.partitionBy("url").orderBy(
+        F.md5(F.coalesce(F.col("html"), F.lit(b""))).asc(),
+        F.coalesce(F.col("text"), F.lit("")).asc())
+    sub = (sub.withColumn("_rn", F.row_number().over(w))
+           .filter(F.col("_rn") == 1).drop("_rn"))
+    return sub, n_latest - n_changed
+
+
+def _committed_bucket_rows(spark, table_dir: str,
+                           buckets: list[int]) -> DataFrame | None:
+    """Committed rows of the given buckets (with the ``bucket`` partition
+    column), or None when none of the dirs exist yet (first snapshot)."""
+    dirs = [wh.bucket_dir(table_dir, b) for b in buckets]
+    dirs = [d for d in dirs if os.path.isdir(d)]
+    if not dirs:
+        return None
+    return spark.read.option("basePath", table_dir).parquet(*dirs)
 
 
 def read_chunks(spark: SparkSession, out_dir: str) -> DataFrame:

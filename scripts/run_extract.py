@@ -36,6 +36,10 @@ def main() -> int:
                     help="content-size multiplier for synthesized pages")
     ap.add_argument("--warmup", action="store_true",
                     help="warm executor Python workers before timing")
+    ap.add_argument("--mode", choices=("overwrite", "merge"),
+                    default="overwrite",
+                    help="merge = incremental MERGE INTO: parse only "
+                         "new/updated urls, rewrite only touched buckets")
     args = ap.parse_args()
 
     if args.gen_docs:
@@ -67,6 +71,7 @@ def main() -> int:
         num_buckets=args.buckets,
         buckets_per_batch=args.buckets_per_batch,
         salt_partitions=args.salt_partitions or args.cores,
+        mode=args.mode,
     )
     elapsed = time.time() - t0
     print(json.dumps({
@@ -77,6 +82,7 @@ def main() -> int:
         "doc_count": report.doc_count,
         "chunk_count": report.chunk_count,
         "failure_count": report.failure_count,
+        "docs_unchanged": report.docs_unchanged,
         "elapsed_sec": round(elapsed, 2),
         "docs_per_sec": round(report.doc_count / elapsed, 2) if elapsed else None,
     }))
