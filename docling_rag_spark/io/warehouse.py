@@ -204,30 +204,45 @@ def conflicting_buckets(out_dir: str, snapshot_id: str, buckets: list[int],
 
 
 def commit_buckets(staging_table_dir: str, final_table_dir: str,
-                   buckets: list[int]) -> None:
+                   buckets: list[int],
+                   retain_to: str | None = None) -> list[tuple[int, bool]]:
     """Move staged bucket directories into the table, replacing old ones.
 
     Replaced dirs are parked under a DOT-prefixed name before deletion:
     Spark/Hadoop file listing ignores hidden paths, so a crash between the
     rename and the rmtree leaves invisible trash instead of a
     ``bucket=<k>.old-*`` sibling that partition discovery would parse as a
-    live (string-typed!) partition and resurrect the replaced rows."""
+    live (string-typed!) partition and resurrect the replaced rows.
+
+    ``retain_to``: park displaced dirs under this directory instead of
+    deleting them — snapshot retention (io/snapshots.py): a metadata-only
+    rename preserving the previous version for time travel / rollback.
+    Returns ``(bucket, had_prev)`` per bucket actually installed, the rows
+    the caller logs via ``snapshots.log_append``."""
     os.makedirs(final_table_dir, exist_ok=True)
     for e in os.listdir(final_table_dir):
         if e.startswith(".") and ".old-" in e:  # crashed prior commit
             shutil.rmtree(os.path.join(final_table_dir, e),
                           ignore_errors=True)
+    installed: list[tuple[int, bool]] = []
     for b in buckets:
         src = bucket_dir(staging_table_dir, b)
         dst = bucket_dir(final_table_dir, b)
         if not os.path.isdir(src):
             continue  # bucket had no rows in this batch
-        if os.path.isdir(dst):
-            old = os.path.join(final_table_dir,
-                               f".bucket={b}.old-{uuid.uuid4().hex[:8]}")
-            os.rename(dst, old)
-            shutil.rmtree(old, ignore_errors=True)
+        had_prev = os.path.isdir(dst)
+        if had_prev:
+            if retain_to is not None:
+                os.makedirs(retain_to, exist_ok=True)
+                os.rename(dst, os.path.join(retain_to, f"bucket={b}"))
+            else:
+                old = os.path.join(final_table_dir,
+                                   f".bucket={b}.old-{uuid.uuid4().hex[:8]}")
+                os.rename(dst, old)
+                shutil.rmtree(old, ignore_errors=True)
         os.rename(src, dst)
+        installed.append((b, had_prev))
+    return installed
 
 
 def lineage_dir(out_dir: str) -> str:

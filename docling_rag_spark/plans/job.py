@@ -36,6 +36,7 @@ from docling_rag_spark.config import (
     DEFAULT_NUM_BUCKETS,
     DEFAULT_SALT_PARTITIONS,
 )
+from docling_rag_spark.io import snapshots as snap
 from docling_rag_spark.io import warehouse as wh
 from docling_rag_spark.operators.pipeline import (
     chunks_table,
@@ -85,6 +86,7 @@ def run_extraction(
     max_tokens: int = CHUNK_MAX_TOKENS,
     salt_partitions: int = DEFAULT_SALT_PARTITIONS,
     mode: str = "overwrite",
+    retain_snapshots: bool = False,
     _fail_after_batches: int | None = None,
 ) -> ExtractionReport:
     """Run (or resume) the extraction job. Idempotent per snapshot_id.
@@ -107,6 +109,12 @@ def run_extraction(
     are never shuffled for unchanged urls. At Iceberg scale both sides
     of the url join are bucketed by url-hash, making it a
     storage-partitioned join with no shuffle at all.
+
+    ``retain_snapshots=True`` parks every displaced bucket directory under
+    ``<out>/_snapshots`` and appends a commit-log row per bucket
+    (io/snapshots.py) — enabling ``read_table_as_of`` time travel,
+    ``rollback_table``, and ``expire_snapshots``, the Iceberg snapshot
+    facilities the default destructive overwrite forgoes.
     """
     if mode not in ("overwrite", "merge"):
         raise ValueError(f"mode must be 'overwrite' or 'merge', got {mode!r}")
@@ -282,12 +290,24 @@ def run_extraction(
                                                    base_ts)
                 if conflicts:
                     raise wh.CommitConflict(conflicts, snapshot_id)
-                wh.commit_buckets(os.path.join(staging, "chunks"),
-                                  os.path.join(out_dir, "chunks"), batch)
-                wh.commit_buckets(os.path.join(staging, "extracted"),
-                                  os.path.join(out_dir, "extracted"), batch)
+                commit_id = f"{snapshot_id}-b{batch_idx}-{run_id}"
+                installed = {}
+                for tbl in ("chunks", "extracted"):
+                    installed[tbl] = wh.commit_buckets(
+                        os.path.join(staging, tbl),
+                        os.path.join(out_dir, tbl), batch,
+                        retain_to=(snap.retained_dir(out_dir, tbl, commit_id)
+                                   if retain_snapshots else None))
 
                 finished = wh.now()
+                if retain_snapshots:
+                    log_rows = [
+                        {"commit_id": commit_id, "table": tbl, "bucket": b,
+                         "had_prev": had_prev, "committed_at": finished}
+                        for tbl, entries in installed.items()
+                        for b, had_prev in entries]
+                    if log_rows:
+                        snap.log_append(out_dir, log_rows)
                 lineage_rows = []
                 for b in batch:
                     s = stats.get(b)

@@ -1,0 +1,149 @@
+"""Snapshot retention: time travel, rollback, expiry (io/snapshots.py).
+
+The reference gets point-in-time consistency from postgres MVCC; Iceberg
+makes it explicit (snapshot log + expire_snapshots + rollback). These
+tests pin the warehouse's version of that contract:
+
+  * a retained commit makes the PRE-commit table content readable at any
+    as-of instant before the commit;
+  * buckets created after the as-of instant are absent from the view;
+  * rollback restores the as-of state as a NEW commit (the rolled-over
+    state stays readable — history is never rewritten);
+  * expiry drops old retained versions and fences earlier as-of reads
+    with SnapshotExpired instead of silently serving current data.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from docling_rag_spark.io import snapshots as snap
+from docling_rag_spark.io import warehouse as wh
+from docling_rag_spark.plans.job import run_extraction
+from docling_rag_spark.sources.pages import PAGES_ARROW_SCHEMA, generate_pages
+
+N_BUCKETS = 8
+
+
+def _write(df: pd.DataFrame, path: str) -> None:
+    pq.write_table(pa.Table.from_pandas(df, schema=PAGES_ARROW_SCHEMA,
+                                        preserve_index=False), path)
+
+
+def _content(df) -> list[tuple]:
+    cols = sorted(c for c in df.columns if c != "bucket")
+    return sorted(tuple(str(v) for v in r) for r in df.select(cols).collect())
+
+
+def _table(spark, out, table):
+    return spark.read.parquet(os.path.join(out, table))
+
+
+@pytest.fixture(scope="module")
+def wh_dir(spark, tmp_path_factory):
+    """Warehouse with two retained snapshots and the instants between."""
+    root = tmp_path_factory.mktemp("snapwh")
+    base = generate_pages(24, seed=7)
+    v1 = base.iloc[:16].copy()
+    # v2: 12 of the same urls re-extracted + 8 urls v1 never saw (their
+    # buckets may be created by the v2 commit)
+    v2 = pd.concat([base.iloc[:12].copy(), base.iloc[16:24].copy()])
+    p1, p2 = str(root / "p1.parquet"), str(root / "p2.parquet")
+    _write(v1, p1)
+    _write(v2, p2)
+    out = str(root / "wh")
+    run_extraction(spark, p1, out, snapshot_id="v1",
+                   num_buckets=N_BUCKETS, salt_partitions=4,
+                   retain_snapshots=True)
+    time.sleep(0.05)
+    ts_after_v1 = wh.now()
+    time.sleep(0.05)
+    run_extraction(spark, p2, out, snapshot_id="v2",
+                   num_buckets=N_BUCKETS, salt_partitions=4,
+                   retain_snapshots=True)
+    time.sleep(0.05)
+    ts_after_v2 = wh.now()
+    return {"out": out, "ts1": ts_after_v1, "ts2": ts_after_v2,
+            "v1_urls": set(v1["url"]), "v2_urls": set(v2["url"])}
+
+
+# NOTE: tests below run in file order and share wh_dir's warehouse state
+# (rollback leaves it in the v2 state; expiry runs last).
+
+@pytest.mark.parametrize("table", ["extracted", "chunks"])
+def test_time_travel_reads_pre_commit_state(spark, wh_dir, table):
+    out, ts1 = wh_dir["out"], wh_dir["ts1"]
+    asof = snap.read_table_as_of(spark, out, table, ts1,
+                                 num_buckets=N_BUCKETS)
+    current = _content(_table(spark, out, table))
+    assert _content(asof) != current  # v2 really changed the table
+    # the as-of view contains only v1 urls (all 16 in extracted; chunks
+    # lack the error-tier docs, which emit no chunk rows)
+    urls = {r["url"] for r in asof.select("url").distinct().collect()}
+    assert urls <= wh_dir["v1_urls"]
+    if table == "extracted":
+        assert urls == wh_dir["v1_urls"]
+    # v2-only urls never leak into the historical view
+    assert not urls & (wh_dir["v2_urls"] - wh_dir["v1_urls"])
+
+
+def test_as_of_now_equals_current(spark, wh_dir):
+    out, ts2 = wh_dir["out"], wh_dir["ts2"]
+    asof = _content(snap.read_table_as_of(spark, out, "extracted", ts2,
+                                          num_buckets=N_BUCKETS))
+    assert asof == _content(_table(spark, out, "extracted"))
+
+
+def test_rollback_restores_and_keeps_history(spark, wh_dir):
+    out, ts1, ts2 = wh_dir["out"], wh_dir["ts1"], wh_dir["ts2"]
+    golden_v1 = _content(snap.read_table_as_of(spark, out, "extracted", ts1,
+                                               num_buckets=N_BUCKETS))
+    golden_v2 = _content(_table(spark, out, "extracted"))
+    res = snap.rollback_table(out, "extracted", ts1)
+    assert res["buckets_changed"] > 0
+    # current content is v1 again
+    assert _content(_table(spark, out, "extracted")) == golden_v1
+    # the rolled-over v2 state is still time-travel-readable
+    asof_v2 = _content(snap.read_table_as_of(spark, out, "extracted", ts2,
+                                             num_buckets=N_BUCKETS))
+    assert asof_v2 == golden_v2
+    # and ts1 still resolves to v1 (rollback rewrote nothing historical)
+    asof_v1 = _content(snap.read_table_as_of(spark, out, "extracted", ts1,
+                                             num_buckets=N_BUCKETS))
+    assert asof_v1 == golden_v1
+    # roll forward to leave the shared fixture in the v2 state
+    snap.rollback_table(out, "extracted", ts2)
+    assert _content(_table(spark, out, "extracted")) == golden_v2
+
+
+def test_expiry_fences_old_reads(spark, wh_dir):
+    out, ts1 = wh_dir["out"], wh_dir["ts1"]
+    cutoff = wh.now()
+    stats = snap.expire_snapshots(out, older_than=cutoff)
+    assert stats["expired_commits"] > 0
+    root = snap.snapshots_root(out)
+    leftover = [d for t in ("extracted", "chunks")
+                if os.path.isdir(os.path.join(root, t))
+                for d in os.listdir(os.path.join(root, t))]
+    assert leftover == []  # every retained commit dir removed
+    with pytest.raises(snap.SnapshotExpired):
+        snap.read_table_as_of(spark, out, "extracted", ts1,
+                              num_buckets=N_BUCKETS)
+    # current reads are untouched by expiry
+    assert _table(spark, out, "extracted").count() > 0
+
+
+def test_overwrite_without_retention_logs_nothing(spark, tmp_path):
+    base = generate_pages(6, seed=11)
+    p = str(tmp_path / "p.parquet")
+    _write(base, p)
+    out = str(tmp_path / "wh")
+    run_extraction(spark, p, out, num_buckets=4, salt_partitions=2)
+    assert snap.log_read(out) == []
+    assert not os.path.isdir(snap.snapshots_root(out))
