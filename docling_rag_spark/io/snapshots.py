@@ -37,6 +37,15 @@ already-held commit lock; the log is tiny (a few rows per commit) and read
 driver-side like lineage; expiry is a driver-side metadata delete. Every
 piece maps 1:1 onto the Iceberg snapshot log / ``expire_snapshots`` /
 ``rollback_to_timestamp`` procedures.
+
+Coverage: every bucket-structured table rewrite retains once the
+warehouse has a ``_snapshots`` dir (extraction commits, merge mode,
+deletes, registry upserts, stream folds — via
+``commit_buckets_retained``). NOT retained: streaming ``batch=<id>``
+dirs (a transient pre-fold layout) and the derived ANN index (rebuildable
+from the embeddings table). Known race, shared with plain current-table
+reads: an as-of DataFrame resolved before a concurrent ``expire`` may
+fail mid-scan when the retained files vanish — rerun after expiry.
 """
 
 from __future__ import annotations
@@ -132,6 +141,42 @@ def log_read(out_dir: str) -> list[dict]:
                 import warnings
                 warnings.warn(f"skipping unreadable snapshot log {fn}: {exc}")
     return rows
+
+
+def retention_enabled(out_dir: str) -> bool:
+    """True once any retained commit has been made (``_snapshots`` dir
+    exists). Every bucket-rewriting writer — delete, registry upsert,
+    stream fold — must then retain what it displaces: a single
+    non-retaining rewrite silently corrupts every as-of read before it."""
+    return os.path.isdir(snapshots_root(out_dir))
+
+
+def commit_buckets_retained(out_dir: str, staging_table_dir: str, table: str,
+                            buckets: list[int], commit_tag: str,
+                            committed_at: float) -> str | None:
+    """``warehouse.commit_buckets`` honoring warehouse-level retention.
+
+    Call in place of ``commit_buckets`` (inside the same commit lock) at
+    every bucket-rewrite site that is not the extraction job itself. When
+    retention is off this is exactly ``commit_buckets``; when on, the
+    displaced dirs are parked and logged under a fresh commit id (returned).
+    """
+    from docling_rag_spark.io.warehouse import commit_buckets
+
+    table_dir = os.path.join(out_dir, table)
+    enabled = retention_enabled(out_dir)
+    commit_id = f"{commit_tag}-{uuid.uuid4().hex[:12]}"
+    installed = commit_buckets(
+        staging_table_dir, table_dir, buckets,
+        retain_to=retained_dir(out_dir, table, commit_id) if enabled
+        else None)
+    if enabled and installed:
+        log_append(out_dir, [
+            {"commit_id": commit_id, "table": table, "bucket": b,
+             "had_prev": had_prev, "committed_at": committed_at}
+            for b, had_prev in installed])
+        return commit_id
+    return None
 
 
 def resolve_as_of(out_dir: str, table: str, ts: float) -> dict[int, str | None]:

@@ -516,7 +516,11 @@ def _delete_bucketed(spark, out_dir: str, table_dir: str, urls_df,
         newer = wh.conflicting_buckets(out_dir, del_snap, buckets, read_ts)
         if newer:
             raise wh.CommitConflict(newer, del_snap)
-        wh.commit_buckets(stage_tbl, table_dir, buckets)
+        # retention-aware: on a retain_snapshots warehouse the delete is a
+        # retained commit like any other — pre-delete as-of reads still
+        # resolve the deleted rows (Iceberg DELETE produces a snapshot)
+        snap.commit_buckets_retained(out_dir, stage_tbl, table, buckets,
+                                     del_snap, wh.now())
     return before - kept_n
 
 

@@ -134,6 +134,7 @@ def upsert_registry_table(spark, out_dir: str, updates: DataFrame,
     import shutil
 
     from docling_rag_spark.config import DEFAULT_NUM_BUCKETS
+    from docling_rag_spark.io import snapshots as snap
     from docling_rag_spark.io import warehouse as wh
     from docling_rag_spark.plans.job import bucket_of
 
@@ -193,7 +194,11 @@ def upsert_registry_table(spark, out_dir: str, updates: DataFrame,
             with wh.commit_lock(out_dir):
                 if bucket_sig() != base_sig:
                     continue  # concurrent commit: re-merge on fresh base
-                wh.commit_buckets(staging, table_dir, buckets)
+                # retention-aware (no-op unless the warehouse retains
+                # snapshots): the upsert becomes a time-travelable commit
+                snap.commit_buckets_retained(out_dir, staging, "registry",
+                                             buckets, "registry-upsert",
+                                             wh.now())
                 return {"buckets_rewritten": buckets}
         finally:
             shutil.rmtree(staging, ignore_errors=True)

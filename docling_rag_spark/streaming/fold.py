@@ -23,6 +23,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from docling_rag_spark.config import DEFAULT_NUM_BUCKETS
+from docling_rag_spark.io import snapshots
 from docling_rag_spark.io import warehouse as wh
 
 
@@ -96,8 +97,11 @@ def fold_stream_chunks(spark: SparkSession, out_dir: str,
                                                read_ts)
                 if newer:
                     raise wh.CommitConflict(newer, snap_id)
-                wh.commit_buckets(staging, chunks_dir, buckets)
                 ts = wh.now()
+                # retention-aware (no-op unless the warehouse retains
+                # snapshots): the fold is a time-travelable commit
+                snapshots.commit_buckets_retained(out_dir, staging, "chunks",
+                                                  buckets, snap_id, ts)
                 wh.append_lineage(out_dir, snap_id, [{
                     "input_snapshot_id": snap_id, "bucket": b,
                     "doc_count": 0, "chunk_count": 0, "failure_count": 0,

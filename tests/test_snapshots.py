@@ -139,6 +139,31 @@ def test_expiry_fences_old_reads(spark, wh_dir):
     assert _table(spark, out, "extracted").count() > 0
 
 
+def test_delete_is_a_retained_commit(spark, tmp_path):
+    """DELETE on a retention-enabled warehouse must keep pre-delete
+    history readable (Iceberg DELETE produces a snapshot; a non-retaining
+    rewrite would silently corrupt every earlier as-of read)."""
+    from docling_rag_spark.plans.job import delete_urls
+
+    base = generate_pages(12, seed=3)
+    p = str(tmp_path / "p.parquet")
+    _write(base, p)
+    out = str(tmp_path / "wh")
+    run_extraction(spark, p, out, num_buckets=4, salt_partitions=2,
+                   retain_snapshots=True)
+    time.sleep(0.05)
+    ts_pre = wh.now()
+    time.sleep(0.05)
+    victim = base["url"].iloc[0]
+    delete_urls(spark, out, [victim], num_buckets=4)
+    cur = {r["url"] for r in
+           _table(spark, out, "extracted").select("url").collect()}
+    assert victim not in cur
+    asof = snap.read_table_as_of(spark, out, "extracted", ts_pre,
+                                 num_buckets=4)
+    assert victim in {r["url"] for r in asof.select("url").collect()}
+
+
 def test_overwrite_without_retention_logs_nothing(spark, tmp_path):
     base = generate_pages(6, seed=11)
     p = str(tmp_path / "p.parquet")
