@@ -40,6 +40,9 @@ def main() -> int:
                     default="overwrite",
                     help="merge = incremental MERGE INTO: parse only "
                          "new/updated urls, rewrite only touched buckets")
+    ap.add_argument("--retain-snapshots", action="store_true",
+                    help="park displaced bucket versions for time travel /"
+                         " rollback (scripts/snapshots_cli.py reads them)")
     args = ap.parse_args()
 
     if args.gen_docs:
@@ -72,6 +75,7 @@ def main() -> int:
         buckets_per_batch=args.buckets_per_batch,
         salt_partitions=args.salt_partitions or args.cores,
         mode=args.mode,
+        retain_snapshots=args.retain_snapshots,
     )
     elapsed = time.time() - t0
     print(json.dumps({
