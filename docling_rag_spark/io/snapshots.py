@@ -19,7 +19,12 @@ warehouse (io/warehouse.py):
     (``<out>/_snapshots/log/``, one fsync'd file per commit, the same
     atomic-append protocol as lineage) recording
     ``(commit_id, table, bucket, had_prev, committed_at)`` per bucket a
-    commit replaced or created;
+    commit replaced or created. Written in TWO phases: a hidden intent
+    file lands before any bucket rename and one atomic rename promotes
+    it afterwards, so a crash anywhere in between is reconciled by
+    ``recover_intents`` against the actual directory state — the log can
+    never silently disagree with the data (the Iceberg analog: data
+    files first, then the atomic metadata-pointer swap);
   * **time travel** — ``read_table_as_of`` resolves, per bucket, the
     directory that was live at the requested timestamp: the version
     retained by the EARLIEST commit after the timestamp, or the current
@@ -58,6 +63,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from docling_rag_spark.config import DEFAULT_NUM_BUCKETS
+from docling_rag_spark.io.warehouse import (append_parquet_atomic,
+                                            read_parquet_dir)
 
 LOG_ARROW_SCHEMA = pa.schema([
     ("commit_id", pa.string()),
@@ -89,18 +96,92 @@ def log_append(out_dir: str, rows: list[dict]) -> str:
     """Atomic fsync'd append of one commit's log rows (same durability
     contract as warehouse.append_lineage — the log IS the time-travel
     commit record)."""
+    return append_parquet_atomic(
+        _log_dir(out_dir), LOG_ARROW_SCHEMA, rows,
+        f"commit-{uuid.uuid4().hex[:12]}.parquet")
+
+
+def _write_intent(out_dir: str, commit_id: str, rows: list[dict]) -> str:
+    """Phase 1 of the two-phase commit record: a DOT-prefixed (hence
+    invisible to ``log_read``/Spark listings) fsync'd parquet holding the
+    planned log rows, written BEFORE any bucket rename. Phase 2
+    (``_finalize_intent``) is a single atomic rename to the committed
+    name — the real commit point. A crash between the phases leaves the
+    intent for ``recover_intents`` to reconcile against the directory
+    state, so the log can never silently disagree with the data
+    (VERDICT-r3 review: log-after-rename made pre-crash history vanish
+    silently)."""
+    token = f"{commit_id}-{uuid.uuid4().hex[:8]}"
+    return append_parquet_atomic(
+        _log_dir(out_dir), LOG_ARROW_SCHEMA, rows,
+        f".intent-{token}.parquet")
+
+
+def _finalize_intent(out_dir: str, intent_path: str, commit_id: str) -> None:
+    # the committed name derives from the intent's unique token: one
+    # commit id may span several intents (extraction logs chunks and
+    # extracted separately under one id)
+    fn = os.path.basename(intent_path)[len(".intent-"):]
+    os.rename(intent_path, os.path.join(_log_dir(out_dir), f"commit-{fn}"))
+
+
+def _intent_files(out_dir: str) -> list[str]:
     d = _log_dir(out_dir)
-    os.makedirs(d, exist_ok=True)
-    name = f"commit-{uuid.uuid4().hex[:12]}.parquet"
-    tmp = os.path.join(d, "." + name + ".tmp")
-    cols = {f.name: [r[f.name] for r in rows] for f in LOG_ARROW_SCHEMA}
-    with open(tmp, "wb") as f:
-        pq.write_table(pa.table(cols, schema=LOG_ARROW_SCHEMA), f)
-        f.flush()
-        os.fsync(f.fileno())
-    final = os.path.join(d, name)
-    os.rename(tmp, final)
-    return final
+    if not os.path.isdir(d):
+        return []
+    return sorted(os.path.join(d, fn) for fn in os.listdir(d)
+                  if fn.startswith(".intent-") and fn.endswith(".parquet"))
+
+
+def recover_intents(out_dir: str) -> int:
+    """Reconcile crashed two-phase commits (MUST run under the commit
+    lock; every writer and ``resolve_as_of`` do). For each orphaned
+    intent, each bucket row is kept or dropped according to what the
+    renames actually accomplished:
+
+      * replaced bucket, parked old + new installed → commit completed
+        for that bucket: keep the row;
+      * parked old but nothing installed (crash between the two renames
+        of one bucket): restore the parked dir — the bucket rolls back,
+        drop the row;
+      * nothing parked / nothing installed: the rename never ran, drop.
+
+    Kept rows are finalized as a real log file; a fully-dead intent is
+    simply removed. Returns the number of intents reconciled."""
+    from docling_rag_spark.io.warehouse import bucket_dir
+
+    n = 0
+    for path in _intent_files(out_dir):
+        try:
+            rows = pq.read_table(path).to_pylist()
+        except pa.ArrowInvalid:
+            os.unlink(path)  # torn intent: nothing ran, nothing to keep
+            n += 1
+            continue
+        keep = []
+        for r in rows:
+            park_b = os.path.join(
+                retained_dir(out_dir, r["table"], r["commit_id"]),
+                f"bucket={r['bucket']}")
+            cur = bucket_dir(os.path.join(out_dir, r["table"]), r["bucket"])
+            parked, installed = os.path.isdir(park_b), os.path.isdir(cur)
+            if r["had_prev"]:
+                if parked and installed:
+                    keep.append(r)
+                elif parked:
+                    os.rename(park_b, cur)  # roll the bucket back
+            elif installed:
+                keep.append(r)
+        if keep:
+            log_append(out_dir, keep)
+        else:
+            for r in rows:  # drop an empty park dir left behind
+                d = retained_dir(out_dir, r["table"], r["commit_id"])
+                if os.path.isdir(d) and not os.listdir(d):
+                    os.rmdir(d)
+        os.unlink(path)
+        n += 1
+    return n
 
 
 def _watermark_path(out_dir: str) -> str:
@@ -129,18 +210,9 @@ def _set_expired_before(out_dir: str, ts: float) -> None:
 
 
 def log_read(out_dir: str) -> list[dict]:
-    d = _log_dir(out_dir)
-    if not os.path.isdir(d):
-        return []
-    rows: list[dict] = []
-    for fn in sorted(os.listdir(d)):
-        if fn.endswith(".parquet") and not fn.startswith("."):
-            try:
-                rows.extend(pq.read_table(os.path.join(d, fn)).to_pylist())
-            except pa.ArrowInvalid as exc:
-                import warnings
-                warnings.warn(f"skipping unreadable snapshot log {fn}: {exc}")
-    return rows
+    """Committed snapshot-log rows (dot-prefixed intent files of crashed
+    or in-flight commits are invisible by construction)."""
+    return read_parquet_dir(_log_dir(out_dir), "snapshot log")
 
 
 def retention_enabled(out_dir: str) -> bool:
@@ -153,30 +225,44 @@ def retention_enabled(out_dir: str) -> bool:
 
 def commit_buckets_retained(out_dir: str, staging_table_dir: str, table: str,
                             buckets: list[int], commit_tag: str,
-                            committed_at: float) -> str | None:
+                            committed_at: float, *, force: bool = False,
+                            commit_id: str | None = None) -> str | None:
     """``warehouse.commit_buckets`` honoring warehouse-level retention.
 
     Call in place of ``commit_buckets`` (inside the same commit lock) at
-    every bucket-rewrite site that is not the extraction job itself. When
-    retention is off this is exactly ``commit_buckets``; when on, the
-    displaced dirs are parked and logged under a fresh commit id (returned).
-    """
-    from docling_rag_spark.io.warehouse import commit_buckets
+    EVERY bucket-rewrite site, the extraction job included. When retention
+    is off (and ``force`` is False) this is exactly ``commit_buckets``;
+    when on, the displaced dirs are parked and logged under the commit id
+    (returned). ``force`` turns retention on for a warehouse that has
+    never retained (the ``--retain-snapshots`` opt-in); once any retained
+    commit exists, every later call retains automatically.
 
+    Two-phase log: the planned rows are written as a hidden intent BEFORE
+    the renames and promoted to a committed log file by one atomic rename
+    after — see ``recover_intents`` for the crash story.
+    """
+    from docling_rag_spark.io.warehouse import bucket_dir, commit_buckets
+
+    recover_intents(out_dir)
     table_dir = os.path.join(out_dir, table)
-    enabled = retention_enabled(out_dir)
-    commit_id = f"{commit_tag}-{uuid.uuid4().hex[:12]}"
-    installed = commit_buckets(
-        staging_table_dir, table_dir, buckets,
-        retain_to=retained_dir(out_dir, table, commit_id) if enabled
-        else None)
-    if enabled and installed:
-        log_append(out_dir, [
-            {"commit_id": commit_id, "table": table, "bucket": b,
-             "had_prev": had_prev, "committed_at": committed_at}
-            for b, had_prev in installed])
-        return commit_id
-    return None
+    enabled = force or retention_enabled(out_dir)
+    if not enabled:
+        commit_buckets(staging_table_dir, table_dir, buckets)
+        return None
+    commit_id = commit_id or f"{commit_tag}-{uuid.uuid4().hex[:12]}"
+    planned = [
+        {"commit_id": commit_id, "table": table, "bucket": b,
+         "had_prev": os.path.isdir(bucket_dir(table_dir, b)),
+         "committed_at": committed_at}
+        for b in buckets
+        if os.path.isdir(bucket_dir(staging_table_dir, b))]
+    if not planned:
+        return None  # nothing staged for these buckets
+    intent = _write_intent(out_dir, commit_id, planned)
+    commit_buckets(staging_table_dir, table_dir, buckets,
+                   retain_to=retained_dir(out_dir, table, commit_id))
+    _finalize_intent(out_dir, intent, commit_id)
+    return commit_id
 
 
 def resolve_as_of(out_dir: str, table: str, ts: float) -> dict[int, str | None]:
@@ -187,7 +273,15 @@ def resolve_as_of(out_dir: str, table: str, ts: float) -> dict[int, str | None]:
     to their current directory. Raises :class:`SnapshotExpired` when a
     needed retained version was expired.
     """
-    from docling_rag_spark.io.warehouse import bucket_dir
+    from docling_rag_spark.io.warehouse import bucket_dir, commit_lock
+
+    if _intent_files(out_dir):
+        # a crashed commit left an unreconciled intent: repair under the
+        # lock before resolving, so the log and the dirs agree (an
+        # in-flight commit never exposes its intent — writers hold the
+        # lock across intent→renames→finalize)
+        with commit_lock(out_dir):
+            recover_intents(out_dir)
 
     wm = expired_before(out_dir)
     if wm is not None and ts < wm:
@@ -255,7 +349,13 @@ def expire_snapshots(out_dir: str, older_than: float) -> dict:
     """
     from docling_rag_spark.io.warehouse import commit_lock
 
+    if not retention_enabled(out_dir):
+        # a no-op expire must not CREATE _snapshots: that would silently
+        # flip retention on for every future delete/upsert/fold on a
+        # warehouse that never opted in
+        return {"expired_commits": 0, "dirs_removed": 0, "log_rows": 0}
     with commit_lock(out_dir):
+        recover_intents(out_dir)
         rows = log_read(out_dir)
         keep = [r for r in rows if r["committed_at"] >= older_than]
         drop = [r for r in rows if r["committed_at"] < older_than]
@@ -282,21 +382,42 @@ def expire_snapshots(out_dir: str, older_than: float) -> dict:
                 "dirs_removed": removed, "log_rows": len(keep)}
 
 
+def _pin_empty_schema(table_dir: str, bucket: int, park: str) -> bool:
+    """A rollback that removes every bucket (rollback-to-genesis) must not
+    leave a file-less table dir — every later read would fail schema
+    inference. Pin the schema with one zero-row parquet (what an Iceberg
+    table keeps in metadata), copied from any displaced file's footer —
+    the same contract ``_delete_bucketed``'s full-wipe path honors."""
+    for root, _dirs, files in os.walk(park):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                schema = pq.read_schema(os.path.join(root, fn))
+                d = os.path.join(table_dir, f"bucket={bucket}")
+                os.makedirs(d, exist_ok=True)
+                pq.write_table(schema.empty_table(),
+                               os.path.join(d, "part-00000-empty.parquet"))
+                return True
+    return False
+
+
 def rollback_table(out_dir: str, table: str, ts: float) -> dict:
     """Restore ``table`` to its as-of-``ts`` state as a NEW retained
     commit (Iceberg ``rollback_to_timestamp``: history moves forward, the
     rolled-back-over state stays time-travel-readable). Driver-side
     directory ops under the commit lock; retained versions are COPIED in
-    (they must survive for older as-of reads)."""
-    from docling_rag_spark.io.warehouse import bucket_dir, commit_lock, now
+    via a staged-rename (they must survive for older as-of reads, and a
+    torn copy must never land under the final name)."""
+    from docling_rag_spark.io.warehouse import (append_lineage, bucket_dir,
+                                                commit_lock, now)
 
     table_dir = os.path.join(out_dir, table)
     commit_id = f"rollback-{uuid.uuid4().hex[:12]}"
     with commit_lock(out_dir):
+        recover_intents(out_dir)
         resolved = resolve_as_of(out_dir, table, ts)
         park = retained_dir(out_dir, table, commit_id)
         commit_ts = now()
-        log_rows, installed, removed = [], 0, 0
+        plan: list[tuple[int, str | None, bool, str]] = []
         for b, src in sorted(resolved.items()):
             cur = bucket_dir(table_dir, b)
             if src == cur:
@@ -304,18 +425,40 @@ def rollback_table(out_dir: str, table: str, ts: float) -> dict:
             had_prev = os.path.isdir(cur)
             if src is None and not had_prev:
                 continue  # absent at ts and absent now: nothing to do
+            plan.append((b, src, had_prev, cur))
+        if not plan:
+            return {"commit_id": commit_id, "buckets_installed": 0,
+                    "buckets_removed": 0, "buckets_changed": 0}
+        # Lineage FIRST: conflicting_buckets() — the optimistic-concurrency
+        # check every extraction/delete/fold commit runs — scans lineage
+        # only, so without this row a job that read its base before the
+        # rollback would silently re-commit the rolled-back-over state
+        # (same written-before-data rule as delete_urls).
+        append_lineage(out_dir, commit_id, [{
+            "input_snapshot_id": commit_id, "bucket": b, "doc_count": 0,
+            "chunk_count": 0, "failure_count": 0,
+            "started_at": commit_ts, "finished_at": commit_ts}
+            for b, _src, _hp, _cur in plan])
+        log_rows = [{"commit_id": commit_id, "table": table, "bucket": b,
+                     "had_prev": had_prev, "committed_at": commit_ts}
+                    for b, _src, had_prev, _cur in plan]
+        intent = _write_intent(out_dir, commit_id, log_rows)
+        installed, removed = 0, 0
+        for b, src, had_prev, cur in plan:
             if had_prev:
                 os.makedirs(park, exist_ok=True)
                 os.rename(cur, os.path.join(park, f"bucket={b}"))
             if src is not None:
-                shutil.copytree(src, cur)
+                tmp = os.path.join(table_dir,
+                                   f".rollback-{b}-{uuid.uuid4().hex[:8]}")
+                shutil.copytree(src, tmp)
+                os.rename(tmp, cur)
                 installed += 1
             else:
                 removed += 1
-            log_rows.append({"commit_id": commit_id, "table": table,
-                             "bucket": b, "had_prev": had_prev,
-                             "committed_at": commit_ts})
-        if log_rows:
-            log_append(out_dir, log_rows)
+        if os.path.isdir(table_dir) and not any(
+                e.startswith("bucket=") for e in os.listdir(table_dir)):
+            _pin_empty_schema(table_dir, plan[0][0], park)
+        _finalize_intent(out_dir, intent, commit_id)
         return {"commit_id": commit_id, "buckets_installed": installed,
-                "buckets_removed": removed, "buckets_changed": len(log_rows)}
+                "buckets_removed": removed, "buckets_changed": len(plan)}

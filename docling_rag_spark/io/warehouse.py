@@ -249,18 +249,16 @@ def lineage_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "lineage")
 
 
-def append_lineage(out_dir: str, snapshot_id: str, rows: list[dict]) -> str:
-    """Atomically append one parquet file to the lineage table (tmp write +
-    rename — the commit protocol every table in this warehouse uses)."""
-    d = lineage_dir(out_dir)
+def append_parquet_atomic(d: str, schema: pa.Schema, rows: list[dict],
+                          name: str) -> str:
+    """Append one fsync'd parquet file to an append-only metadata table
+    (tmp write + fsync + rename — the durable-record protocol lineage and
+    the snapshot commit log share)."""
     os.makedirs(d, exist_ok=True)
-    name = f"{snapshot_id}-{uuid.uuid4().hex[:12]}.parquet"
     tmp = os.path.join(d, "." + name + ".tmp")
-    cols = {f.name: [r[f.name] for r in rows] for f in LINEAGE_ARROW_SCHEMA}
-    # lineage is the durable commit record: fsync before the rename so a
-    # crash can never leave a truncated parquet behind the final name
+    cols = {f.name: [r[f.name] for r in rows] for f in schema}
     with open(tmp, "wb") as f:
-        pq.write_table(pa.table(cols, schema=LINEAGE_ARROW_SCHEMA), f)
+        pq.write_table(pa.table(cols, schema=schema), f)
         f.flush()
         os.fsync(f.fileno())
     final = os.path.join(d, name)
@@ -268,10 +266,10 @@ def append_lineage(out_dir: str, snapshot_id: str, rows: list[dict]) -> str:
     return final
 
 
-def read_lineage(out_dir: str) -> list[dict]:
-    """Driver-side lineage read (resume planning happens before any Spark
-    job runs, so this stays a direct parquet read, not a Spark query)."""
-    d = lineage_dir(out_dir)
+def read_parquet_dir(d: str, label: str = "metadata") -> list[dict]:
+    """Driver-side read of an append-only parquet metadata table. A torn
+    file (pre-fsync crash) is skipped with a warning rather than wedging
+    every future reader."""
     if not os.path.isdir(d):
         return []
     rows: list[dict] = []
@@ -280,11 +278,22 @@ def read_lineage(out_dir: str) -> list[dict]:
             try:
                 rows.extend(pq.read_table(os.path.join(d, fn)).to_pylist())
             except pa.ArrowInvalid as exc:
-                # a torn file (pre-fsync crash) must not wedge every future
-                # resume; its buckets simply re-run (idempotent commit)
                 import warnings
-                warnings.warn(f"skipping unreadable lineage file {fn}: {exc}")
+                warnings.warn(f"skipping unreadable {label} file {fn}: {exc}")
     return rows
+
+
+def append_lineage(out_dir: str, snapshot_id: str, rows: list[dict]) -> str:
+    """Atomically append one parquet file to the lineage table."""
+    return append_parquet_atomic(
+        lineage_dir(out_dir), LINEAGE_ARROW_SCHEMA, rows,
+        f"{snapshot_id}-{uuid.uuid4().hex[:12]}.parquet")
+
+
+def read_lineage(out_dir: str) -> list[dict]:
+    """Driver-side lineage read (resume planning happens before any Spark
+    job runs, so this stays a direct parquet read, not a Spark query)."""
+    return read_parquet_dir(lineage_dir(out_dir), "lineage")
 
 
 def completed_buckets(out_dir: str, snapshot_id: str) -> set[int]:

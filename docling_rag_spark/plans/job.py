@@ -290,24 +290,18 @@ def run_extraction(
                                                    base_ts)
                 if conflicts:
                     raise wh.CommitConflict(conflicts, snapshot_id)
+                # Retention via the shared helper: retains when the flag
+                # asks for it (force) OR the warehouse already has retained
+                # history — a later run without the flag must not
+                # destructively rewrite buckets with no snapshot-log row,
+                # which would silently corrupt every earlier as-of read.
                 commit_id = f"{snapshot_id}-b{batch_idx}-{run_id}"
-                installed = {}
-                for tbl in ("chunks", "extracted"):
-                    installed[tbl] = wh.commit_buckets(
-                        os.path.join(staging, tbl),
-                        os.path.join(out_dir, tbl), batch,
-                        retain_to=(snap.retained_dir(out_dir, tbl, commit_id)
-                                   if retain_snapshots else None))
-
                 finished = wh.now()
-                if retain_snapshots:
-                    log_rows = [
-                        {"commit_id": commit_id, "table": tbl, "bucket": b,
-                         "had_prev": had_prev, "committed_at": finished}
-                        for tbl, entries in installed.items()
-                        for b, had_prev in entries]
-                    if log_rows:
-                        snap.log_append(out_dir, log_rows)
+                for tbl in ("chunks", "extracted"):
+                    snap.commit_buckets_retained(
+                        out_dir, os.path.join(staging, tbl), tbl, batch,
+                        snapshot_id, finished, force=retain_snapshots,
+                        commit_id=commit_id)
                 lineage_rows = []
                 for b in batch:
                     s = stats.get(b)
