@@ -43,7 +43,7 @@ def search_warehouse(spark: SparkSession, warehouse: str, query: str,
 
     if mode not in ("auto", "exact", "ann"):
         raise ValueError(f"invalid mode {mode!r}; use auto|exact|ann")
-    chunks = spark.read.parquet(os.path.join(warehouse, "chunks"))
+    chunks = wh.read_table(spark, warehouse, "chunks")
     emb_path = os.path.join(warehouse, "embeddings")
     ann_lsh = os.path.join(warehouse, "ann", "lsh")
     use_ann = (mode == "ann" or (mode == "auto" and os.path.isdir(ann_lsh)))
@@ -71,7 +71,7 @@ def search_warehouse(spark: SparkSession, warehouse: str, query: str,
     hits = search_chunks(spark, emb, query, top_k=top_k,
                          allowed_urls=allowed,
                          store_is_empty=chunks.isEmpty())
-    docs = spark.read.parquet(os.path.join(warehouse, "extracted")) \
+    docs = wh.read_table(spark, warehouse, "extracted") \
         .select("url", "title")
     meta = chunks.select("url", "chunk_id", "text", "headings",
                          "page_number", "element_type")
@@ -108,7 +108,7 @@ def documents_payload(spark: SparkSession, warehouse: str,
                       limit: int = 100, url_prefix: str | None = None
                       ) -> list[dict]:
     """Catalog listing (reference GET /documents)."""
-    ex = spark.read.parquet(os.path.join(warehouse, "extracted"))
+    ex = wh.read_table(spark, warehouse, "extracted")
     if url_prefix is not None:
         ex = ex.filter(F.col("url").startswith(url_prefix))
     rows = (ex.select("url", "title", "format", "status", "lang",

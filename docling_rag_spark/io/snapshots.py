@@ -332,12 +332,26 @@ def read_table_as_of(spark, out_dir: str, table: str, ts: float,
 
     from docling_rag_spark.plans.job import bucket_of
 
+    from pyspark.sql import types as T
+
+    from docling_rag_spark.io.warehouse import pinned_table_schema
+
     paths = [p for p in resolve_as_of(out_dir, table, ts).values()
              if p is not None]
     if not paths:
         raise FileNotFoundError(
             f"table {table!r} had no committed buckets as of {ts}")
-    return (spark.read.parquet(*paths)
+    # As-of paths span schema eras (retained dirs predate added columns);
+    # read with the pinned schema — minus the bucket partition field these
+    # parent-less leaf dirs cannot supply — so footer sampling can never
+    # drop a column. Old files read added columns as null (reading history
+    # through the LATEST schema, the Iceberg default for schema-on-read).
+    pinned = pinned_table_schema(out_dir, table)
+    reader = spark.read
+    if pinned is not None:
+        reader = reader.schema(T.StructType(
+            [f for f in pinned.fields if f.name != "bucket"]))
+    return (reader.parquet(*paths)
             .withColumn("bucket", bucket_of(F.col("url"), num_buckets)))
 
 

@@ -322,3 +322,100 @@ def lineage_df(spark, out_dir: str):
 
 def now() -> float:
     return time.time()
+
+
+# ---------------------------------------------------------------------------
+# Pinned table schema — Iceberg-style schema evolution (add-column)
+# ---------------------------------------------------------------------------
+#
+# Copy-on-write at bucket granularity means an incremental MERGE run with a
+# NEWER code version rewrites only the buckets that received changed urls:
+# the table ends up with parquet files of two schema eras side by side.
+# A plain ``spark.read.parquet`` then either silently DROPS the new column
+# (footer sampling missed it) or the merge union fails outright. Iceberg
+# solves this by making the schema a property of table METADATA, not of the
+# data files; this layer does the same with one JSON document per table,
+# evolved union-by-name at every commit. Reads resolve the schema in O(1)
+# (no ``mergeSchema`` footer scan over millions of files — the difference
+# between an instant plan and a cluster-wide metadata storm at 10^12 docs);
+# files missing a pinned column read as null, exactly Iceberg's add-column
+# semantics. A name reused with a different type is a contract break and is
+# rejected at commit time (``SchemaEvolutionError``), never discovered by a
+# reader.
+
+
+class SchemaEvolutionError(RuntimeError):
+    """A staged write reuses an existing column name with a different data
+    type. Parquet files of both eras would coexist in one table with no
+    single schema able to describe them — reject at commit time."""
+
+
+def schema_path(out_dir: str, table: str) -> str:
+    return os.path.join(out_dir, "_schema", f"{table}.json")
+
+
+def merge_table_schemas(old, new):
+    """Union-by-name of two Spark ``StructType``s: pinned fields keep their
+    position (readers see a stable column order), genuinely new fields
+    append, and a field the new writer no longer emits is RETAINED (it
+    still exists in committed files; dropping it is an explicit DDL-like
+    act, not a side effect of one writer's version). Type changes raise."""
+    from pyspark.sql import types as T
+
+    by_name = {f.name: f for f in new.fields}
+    fields = []
+    for f in old.fields:
+        g = by_name.pop(f.name, None)
+        if g is not None and g.dataType != f.dataType:
+            raise SchemaEvolutionError(
+                f"column {f.name!r}: pinned type {f.dataType.simpleString()} "
+                f"!= staged type {g.dataType.simpleString()}")
+        fields.append(f)
+    fields.extend(f for f in new.fields if f.name in by_name)
+    return T.StructType(fields)
+
+
+def pinned_table_schema(out_dir: str, table: str):
+    """The table's pinned ``StructType``, or None for a warehouse written
+    before schema pinning existed (reads fall back to footer inference)."""
+    import json
+
+    from pyspark.sql import types as T
+
+    p = schema_path(out_dir, table)
+    if not os.path.isfile(p):
+        return None
+    with open(p) as f:
+        return T.StructType.fromJson(json.load(f))
+
+
+def pin_table_schema(out_dir: str, table: str, schema) -> None:
+    """Evolve and persist the table's pinned schema (call INSIDE the commit
+    lock, BEFORE the bucket renames — a reader must never see data files
+    the pinned schema cannot describe). Atomic tmp+fsync+rename, the same
+    durability contract as lineage."""
+    import json
+
+    old = pinned_table_schema(out_dir, table)
+    merged = merge_table_schemas(old, schema) if old is not None else schema
+    if old is not None and merged.jsonValue() == old.jsonValue():
+        return  # unchanged: no metadata churn on the common path
+    p = schema_path(out_dir, table)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    tmp = p + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(merged.jsonValue(), f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, p)
+
+
+def read_table(spark, out_dir: str, table: str):
+    """Schema-pinned whole-table read: every committed column is present
+    regardless of which bucket era a file was written in (files predating
+    an added column yield null for it). Falls back to footer inference on
+    a warehouse with no pinned schema."""
+    d = os.path.join(out_dir, table)
+    s = pinned_table_schema(out_dir, table)
+    return spark.read.schema(s).parquet(d) if s is not None \
+        else spark.read.parquet(d)

@@ -245,13 +245,20 @@ def run_extraction(
             # pass the staged bucket column through instead of re-hashing
             # every output row (an xxhash64+pmod per chunk after explode,
             # for a value the staged partitioning already fixed)
+            staged_schema = {}
+
             def _write_chunks():
                 new = chunks_table(docs, extra_cols=("bucket",))
                 if old_chunks is not None:
                     # copy-on-write MERGE: existing rows of re-extracted
-                    # urls are replaced; everything else carries over
+                    # urls are replaced; everything else carries over.
+                    # allowMissingColumns: carried-over rows written by an
+                    # older code version read null for any column this
+                    # version added (Iceberg add-column semantics) instead
+                    # of failing the whole run on the first upgraded crawl
                     new = (old_chunks.join(new_urls, "url", "left_anti")
-                           .unionByName(new))
+                           .unionByName(new, allowMissingColumns=True))
+                staged_schema["chunks"] = new.schema
                 (new.write.partitionBy("bucket").mode("overwrite")
                  .parquet(os.path.join(staging, "chunks")))
 
@@ -259,7 +266,8 @@ def run_extraction(
                 new = extracted_table(docs, extra_cols=("bucket",))
                 if old_extracted is not None:
                     new = (old_extracted.join(new_urls, "url", "left_anti")
-                           .unionByName(new))
+                           .unionByName(new, allowMissingColumns=True))
+                staged_schema["extracted"] = new.schema
                 (new.write.partitionBy("bucket").mode("overwrite")
                  .parquet(os.path.join(staging, "extracted")))
 
@@ -298,6 +306,11 @@ def run_extraction(
                 commit_id = f"{snapshot_id}-b{batch_idx}-{run_id}"
                 finished = wh.now()
                 for tbl in ("chunks", "extracted"):
+                    # evolve the pinned table schema BEFORE the renames: a
+                    # reader must never see files the pinned schema cannot
+                    # describe (rejects type conflicts here, at commit,
+                    # not in some later reader's plan)
+                    wh.pin_table_schema(out_dir, tbl, staged_schema[tbl])
                     snap.commit_buckets_retained(
                         out_dir, os.path.join(staging, tbl), tbl, batch,
                         snapshot_id, finished, force=retain_snapshots,
@@ -386,20 +399,28 @@ def _changed_pages(spark, sub: DataFrame, out_dir: str,
 def _committed_bucket_rows(spark, table_dir: str,
                            buckets: list[int]) -> DataFrame | None:
     """Committed rows of the given buckets (with the ``bucket`` partition
-    column), or None when none of the dirs exist yet (first snapshot)."""
+    column), or None when none of the dirs exist yet (first snapshot).
+    Schema-pinned when the warehouse pins one: the selected buckets can
+    span code-version eras, and footer inference over a mixed set silently
+    drops columns the sampled footer lacks."""
     dirs = [wh.bucket_dir(table_dir, b) for b in buckets]
     dirs = [d for d in dirs if os.path.isdir(d)]
     if not dirs:
         return None
-    return spark.read.option("basePath", table_dir).parquet(*dirs)
+    reader = spark.read.option("basePath", table_dir)
+    pinned = wh.pinned_table_schema(os.path.dirname(table_dir),
+                                    os.path.basename(table_dir))
+    if pinned is not None:
+        reader = reader.schema(pinned)
+    return reader.parquet(*dirs)
 
 
 def read_chunks(spark: SparkSession, out_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(out_dir, "chunks"))
+    return wh.read_table(spark, out_dir, "chunks")
 
 
 def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(out_dir, "extracted"))
+    return wh.read_table(spark, out_dir, "extracted")
 
 
 def delete_urls(spark: SparkSession, out_dir: str, urls: list[str],
@@ -473,7 +494,13 @@ def _delete_bucketed(spark, out_dir: str, table_dir: str, urls_df,
     if not dirs:
         return 0
     read_ts = wh.now()
-    sub = spark.read.option("basePath", table_dir).parquet(*dirs)
+    # schema-pinned read: a delete over mixed-era buckets must not strip
+    # an added column from the carried-over rows it rewrites
+    reader = spark.read.option("basePath", table_dir)
+    pinned = wh.pinned_table_schema(out_dir, table)
+    if pinned is not None:
+        reader = reader.schema(pinned)
+    sub = reader.parquet(*dirs)
     before = sub.count()
     kept = sub.join(F.broadcast(urls_df), "url", "left_anti")
     stage_tbl = os.path.join(staging, table)

@@ -171,8 +171,14 @@ def upsert_registry_table(spark, out_dir: str, updates: DataFrame,
         dirs = [wh.bucket_dir(table_dir, b) for b in buckets]
         dirs = [d for d in dirs if os.path.isdir(d)]
         if dirs:
-            existing = (spark.read.option("basePath", table_dir)
-                        .parquet(*dirs).drop("bucket"))
+            # schema-pinned read: the selected buckets can span code
+            # versions, and footer inference over a mixed set silently
+            # drops whichever columns the sampled footer lacks
+            reader = spark.read.option("basePath", table_dir)
+            pinned = wh.pinned_table_schema(out_dir, "registry")
+            if pinned is not None:
+                reader = reader.schema(pinned)
+            existing = reader.parquet(*dirs).drop("bucket")
         else:
             existing = spark.createDataFrame(
                 [], updates.select(*[c for c in updates.columns]).schema)
@@ -194,6 +200,11 @@ def upsert_registry_table(spark, out_dir: str, updates: DataFrame,
             with wh.commit_lock(out_dir):
                 if bucket_sig() != base_sig:
                     continue  # concurrent commit: re-merge on fresh base
+                wh.pin_table_schema(
+                    out_dir, "registry",
+                    merged.withColumn(
+                        "bucket",
+                        bucket_of(F.col("url"), num_buckets)).schema)
                 # retention-aware (no-op unless the warehouse retains
                 # snapshots): the upsert becomes a time-travelable commit
                 snap.commit_buckets_retained(out_dir, staging, "registry",

@@ -81,9 +81,12 @@ def fold_stream_chunks(spark: SparkSession, out_dir: str,
             return {"folded_batches": len(batches), "rows_folded": 0}
 
         old = _committed_bucket_rows(spark, chunks_dir, buckets)
+        # allowMissingColumns: the stream and the bucketed base can be one
+        # code-version apart; rows missing an added column read as null
+        # (the pinned-schema add-column contract) instead of failing
         merged = streamed if old is None else (
             old.join(streamed.select("url").distinct(), "url", "left_anti")
-            .unionByName(streamed))
+            .unionByName(streamed, allowMissingColumns=True))
 
         n_folded = streamed.count()
         snap_id = f"fold-{uuid.uuid4().hex[:12]}"
@@ -98,6 +101,7 @@ def fold_stream_chunks(spark: SparkSession, out_dir: str,
                 if newer:
                     raise wh.CommitConflict(newer, snap_id)
                 ts = wh.now()
+                wh.pin_table_schema(out_dir, "chunks", merged.schema)
                 # retention-aware (no-op unless the warehouse retains
                 # snapshots): the fold is a time-travelable commit
                 snapshots.commit_buckets_retained(out_dir, staging, "chunks",
