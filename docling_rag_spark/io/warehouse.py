@@ -389,25 +389,90 @@ def pinned_table_schema(out_dir: str, table: str):
         return T.StructType.fromJson(json.load(f))
 
 
+def _dropped_columns_path(out_dir: str, table: str) -> str:
+    return os.path.join(out_dir, "_schema", f"{table}.dropped.json")
+
+
+def dropped_columns(out_dir: str, table: str) -> list[str]:
+    """Tombstoned column names of ``table`` (see ``drop_table_column``)."""
+    import json
+
+    p = _dropped_columns_path(out_dir, table)
+    if not os.path.isfile(p):
+        return []
+    with open(p) as f:
+        return json.load(f)
+
+
+def _write_json_atomic(p: str, payload) -> None:
+    import json
+
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    tmp = p + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, p)
+
+
 def pin_table_schema(out_dir: str, table: str, schema) -> None:
     """Evolve and persist the table's pinned schema (call INSIDE the commit
     lock, BEFORE the bucket renames — a reader must never see data files
     the pinned schema cannot describe). Atomic tmp+fsync+rename, the same
     durability contract as lineage."""
-    import json
-
+    tombs = set(dropped_columns(out_dir, table))
+    ghosts = tombs & {f.name for f in schema.fields}
+    if ghosts:
+        # Name-based column resolution (vs Iceberg's field IDs) means a
+        # re-added name would silently RESURRECT the dropped column's old
+        # values from pre-drop data files. Reject with the remedy.
+        raise SchemaEvolutionError(
+            f"column(s) {sorted(ghosts)} were dropped from table "
+            f"{table!r}; re-adding the same name would resurrect old file "
+            "data under name-based mapping — use a new column name")
     old = pinned_table_schema(out_dir, table)
     merged = merge_table_schemas(old, schema) if old is not None else schema
     if old is not None and merged.jsonValue() == old.jsonValue():
         return  # unchanged: no metadata churn on the common path
-    p = schema_path(out_dir, table)
-    os.makedirs(os.path.dirname(p), exist_ok=True)
-    tmp = p + f".tmp-{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as f:
-        json.dump(merged.jsonValue(), f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.rename(tmp, p)
+    _write_json_atomic(schema_path(out_dir, table), merged.jsonValue())
+
+
+_PROTECTED_COLUMNS = ("url", "bucket")
+
+
+def drop_table_column(out_dir: str, table: str, col: str) -> None:
+    """Iceberg ``ALTER TABLE ... DROP COLUMN``: metadata-only — the pinned
+    schema stops projecting the column instantly across every reader, data
+    files keep their bytes until buckets are naturally rewritten (exactly
+    Iceberg's lazy physical deletion). The name is tombstoned so a later
+    writer cannot re-add it and resurrect pre-drop values (name-based
+    mapping has no field IDs to disambiguate eras). Takes the commit lock:
+    a drop racing a commit must not interleave with its pin."""
+    from pyspark.sql import types as T
+
+    with commit_lock(out_dir):
+        s = pinned_table_schema(out_dir, table)
+        if s is None:
+            raise SchemaEvolutionError(
+                f"table {table!r} has no pinned schema; drop applies to "
+                "schema metadata, which this warehouse predates")
+        if col in _PROTECTED_COLUMNS:
+            raise SchemaEvolutionError(
+                f"column {col!r} is the table's identity/partition key "
+                "and cannot be dropped")
+        names = [f.name for f in s.fields]
+        if col not in names:
+            raise SchemaEvolutionError(
+                f"table {table!r} has no column {col!r} "
+                f"(columns: {names})")
+        _write_json_atomic(
+            schema_path(out_dir, table),
+            T.StructType([f for f in s.fields if f.name != col])
+            .jsonValue())
+        _write_json_atomic(_dropped_columns_path(out_dir, table),
+                           sorted(set(dropped_columns(out_dir, table))
+                                  | {col}))
 
 
 def read_table(spark, out_dir: str, table: str):

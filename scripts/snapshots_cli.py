@@ -8,9 +8,14 @@ Usage:
     python scripts/snapshots_cli.py rollback --out <wh> --table extracted \
         --as-of <unix_ts>
     python scripts/snapshots_cli.py expire   --out <wh> --older-than <unix_ts>
+    python scripts/snapshots_cli.py schema   --out <wh> --table extracted
+    python scripts/snapshots_cli.py drop-column --out <wh> --table extracted \
+        --column <name>
 
 The Iceberg analogs: snapshot metadata listing, ``SELECT ... FOR
-TIMESTAMP AS OF``, ``rollback_to_timestamp``, ``expire_snapshots``.
+TIMESTAMP AS OF``, ``rollback_to_timestamp``, ``expire_snapshots``,
+``DESCRIBE TABLE`` and ``ALTER TABLE ... DROP COLUMN`` (metadata-only;
+data files are cleaned up by later bucket rewrites).
 Prints one JSON line per invocation.
 """
 
@@ -26,9 +31,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("cmd", choices=("log", "read", "rollback", "expire"))
+    ap.add_argument("cmd", choices=("log", "read", "rollback", "expire",
+                                    "schema", "drop-column"))
     ap.add_argument("--out", required=True)
     ap.add_argument("--table", default="extracted")
+    ap.add_argument("--column", default=None)
     ap.add_argument("--as-of", type=float, default=None)
     ap.add_argument("--older-than", type=float, default=None)
     ap.add_argument("--buckets", type=int, default=64)
@@ -52,6 +59,30 @@ def main() -> int:
             "commits": sorted(commits.values(),
                               key=lambda c: c["committed_at"]),
             "expired_before": snap.expired_before(args.out)}))
+        return 0
+
+    if args.cmd == "schema":
+        from docling_rag_spark.io import warehouse as wh
+
+        s = wh.pinned_table_schema(args.out, args.table)
+        print(json.dumps({
+            "table": args.table,
+            "pinned": None if s is None else
+            [{"name": f.name, "type": f.dataType.simpleString()}
+             for f in s.fields],
+            "dropped": wh.dropped_columns(args.out, args.table)}))
+        return 0
+
+    if args.cmd == "drop-column":
+        if args.column is None:
+            ap.error("drop-column requires --column")
+        from docling_rag_spark.io import warehouse as wh
+
+        wh.drop_table_column(args.out, args.table, args.column)
+        print(json.dumps({"table": args.table, "dropped": args.column,
+                          "remaining": [f.name for f in
+                                        wh.pinned_table_schema(
+                                            args.out, args.table).fields]}))
         return 0
 
     if args.cmd == "expire":

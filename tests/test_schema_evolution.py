@@ -180,6 +180,64 @@ def test_delete_rewrite_keeps_added_column(spark, upgraded):
                          for f in files)
 
 
+def test_drop_column_metadata_only(spark, tmp_path):
+    """Iceberg DROP COLUMN: the pinned schema stops projecting the column
+    instantly, data files keep their bytes, and re-adding the name is
+    rejected (name-based mapping would resurrect pre-drop values)."""
+    from pyspark.sql import types as T
+
+    from docling_rag_spark.plans.registry import upsert_registry_table
+
+    out = str(tmp_path / "wh")
+    updates = spark.createDataFrame(
+        [("https://a.example/x", "Title X", ["alpha"]),
+         ("https://a.example/y", "Title Y", ["beta"])],
+        T.StructType([T.StructField("url", T.StringType()),
+                      T.StructField("title", T.StringType()),
+                      T.StructField("tags",
+                                    T.ArrayType(T.StringType()))]))
+    upsert_registry_table(spark, out, updates, num_buckets=4)
+    assert "tags" in wh.read_table(spark, out, "registry").columns
+
+    wh.drop_table_column(out, "registry", "tags")
+    df = wh.read_table(spark, out, "registry")
+    assert "tags" not in df.columns
+    assert df.count() == 2
+    # data files physically keep the column (lazy deletion)
+    f = glob.glob(os.path.join(out, "registry", "bucket=*", "*.parquet"))[0]
+    assert "tags" in pq.read_schema(f).names
+    # a writer that no longer emits the column keeps working
+    upd2 = spark.createDataFrame(
+        [("https://a.example/x", "Title X2")],
+        T.StructType([T.StructField("url", T.StringType()),
+                      T.StructField("title", T.StringType())]))
+    upsert_registry_table(spark, out, upd2, num_buckets=4)
+    assert "tags" not in wh.read_table(spark, out, "registry").columns
+    # resurrecting the name is rejected at commit time
+    with pytest.raises(wh.SchemaEvolutionError, match="resurrect"):
+        upsert_registry_table(spark, out, updates, num_buckets=4)
+
+
+def test_drop_column_guards(tmp_path):
+    from pyspark.sql import types as T
+
+    out = str(tmp_path)
+    with pytest.raises(wh.SchemaEvolutionError, match="no pinned schema"):
+        wh.drop_table_column(out, "t", "x")
+    wh.pin_table_schema(out, "t", T.StructType(
+        [T.StructField("url", T.StringType()),
+         T.StructField("bucket", T.IntegerType()),
+         T.StructField("x", T.StringType())]))
+    with pytest.raises(wh.SchemaEvolutionError, match="identity/partition"):
+        wh.drop_table_column(out, "t", "url")
+    with pytest.raises(wh.SchemaEvolutionError, match="no column"):
+        wh.drop_table_column(out, "t", "nope")
+    wh.drop_table_column(out, "t", "x")
+    assert wh.dropped_columns(out, "t") == ["x"]
+    assert [f.name for f in wh.pinned_table_schema(out, "t").fields] == [
+        "url", "bucket"]
+
+
 def test_unpinned_warehouse_falls_back(spark, tmp_path):
     """A warehouse written before schema pinning existed (no _schema dir)
     reads via footer inference, exactly as before."""
