@@ -104,7 +104,9 @@ def make_server(spark: SparkSession, warehouse: str,
                     job_id = runner.submit(
                         payload["pages_path"],
                         snapshot_id=payload.get("snapshot_id", "snap-0"),
-                        num_buckets=int(payload.get("num_buckets", 64)))
+                        num_buckets=(int(payload["num_buckets"])
+                                     if "num_buckets" in payload
+                                     else None))
                     self._json({"job_id": job_id}, 202)
                 else:
                     self._json({"error": "not found"}, 404)

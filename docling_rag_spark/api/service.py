@@ -143,7 +143,7 @@ class JobRunner:
         self._seq = 0
 
     def submit(self, pages_path: str, snapshot_id: str = "snap-0",
-               num_buckets: int = 64) -> str:
+               num_buckets: int | None = None) -> str:
         with self._lock:
             self._seq += 1
             job_id = f"job-{self._seq}"

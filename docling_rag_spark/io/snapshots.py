@@ -265,6 +265,45 @@ def commit_buckets_retained(out_dir: str, staging_table_dir: str, table: str,
     return commit_id
 
 
+def retire_buckets(out_dir: str, table: str, buckets: list[int],
+                   commit_tag: str, committed_at: float, *,
+                   commit_id: str | None = None) -> str | None:
+    """Remove bucket directories as a logged, retained commit (a rebucket
+    that SHRINKS the modulus leaves dirs beyond the new range holding
+    already-rewritten rows). Call inside the commit lock. Retention on:
+    dirs park under the commit id with a ``had_prev=True`` log row — the
+    pre-retire content stays time-travel-readable. Retention off: the
+    crash-safe hidden-rename removal ``commit_buckets`` uses. Returns the
+    commit id when anything was logged."""
+    from docling_rag_spark.io.warehouse import bucket_dir
+
+    recover_intents(out_dir)
+    table_dir = os.path.join(out_dir, table)
+    existing = [b for b in buckets
+                if os.path.isdir(bucket_dir(table_dir, b))]
+    if not existing:
+        return None
+    if not retention_enabled(out_dir):
+        for b in existing:
+            old = os.path.join(table_dir,
+                               f".bucket={b}.old-{uuid.uuid4().hex[:8]}")
+            os.rename(bucket_dir(table_dir, b), old)
+            shutil.rmtree(old, ignore_errors=True)
+        return None
+    commit_id = commit_id or f"{commit_tag}-{uuid.uuid4().hex[:12]}"
+    rows = [{"commit_id": commit_id, "table": table, "bucket": b,
+             "had_prev": True, "committed_at": committed_at}
+            for b in existing]
+    intent = _write_intent(out_dir, commit_id, rows)
+    park = retained_dir(out_dir, table, commit_id)
+    os.makedirs(park, exist_ok=True)
+    for b in existing:
+        os.rename(bucket_dir(table_dir, b),
+                  os.path.join(park, f"bucket={b}"))
+    _finalize_intent(out_dir, intent, commit_id)
+    return commit_id
+
+
 def resolve_as_of(out_dir: str, table: str, ts: float) -> dict[int, str | None]:
     """Per bucket, the directory holding its content as of ``ts``.
 
@@ -323,7 +362,7 @@ def resolve_as_of(out_dir: str, table: str, ts: float) -> dict[int, str | None]:
 
 
 def read_table_as_of(spark, out_dir: str, table: str, ts: float,
-                     num_buckets: int = DEFAULT_NUM_BUCKETS):
+                     num_buckets: int | None = None):
     """The table's content as of ``ts`` as a DataFrame (Iceberg
     ``FOR TIMESTAMP AS OF``). The ``bucket`` partition column is
     re-derived from ``url`` (resolved paths span retained and current
@@ -334,8 +373,11 @@ def read_table_as_of(spark, out_dir: str, table: str, ts: float,
 
     from pyspark.sql import types as T
 
-    from docling_rag_spark.io.warehouse import pinned_table_schema
+    from docling_rag_spark.io.warehouse import (pinned_table_schema,
+                                                resolve_num_buckets)
 
+    num_buckets = resolve_num_buckets(out_dir, num_buckets,
+                                      DEFAULT_NUM_BUCKETS)
     paths = [p for p in resolve_as_of(out_dir, table, ts).values()
              if p is not None]
     if not paths:

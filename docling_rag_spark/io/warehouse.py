@@ -438,6 +438,65 @@ def pin_table_schema(out_dir: str, table: str, schema) -> None:
     _write_json_atomic(schema_path(out_dir, table), merged.jsonValue())
 
 
+class BucketSpecMismatch(RuntimeError):
+    """A caller passed a ``num_buckets`` different from the modulus this
+    warehouse was laid out with. Writing at the wrong modulus scatters a
+    url's rows across buckets — resume, delete pruning, and merge change
+    detection all silently miss them. The modulus is the table's partition
+    SPEC, recorded in warehouse metadata; change it with
+    ``rebucket_warehouse`` (Iceberg partition-spec evolution), not by
+    passing a different number."""
+
+
+def _warehouse_props_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_schema", "_warehouse.json")
+
+
+def warehouse_num_buckets(out_dir: str) -> int | None:
+    """The pinned url-hash modulus, or None for a warehouse written before
+    spec pinning existed (callers' explicit value is trusted as before)."""
+    import json
+
+    p = _warehouse_props_path(out_dir)
+    if not os.path.isfile(p):
+        return None
+    with open(p) as f:
+        return json.load(f).get("num_buckets")
+
+
+def resolve_num_buckets(out_dir: str, requested: int | None,
+                        default: int | None = None) -> int:
+    """One resolution rule for every job: an omitted modulus comes from
+    the warehouse spec (falling back to ``default``), an explicit one is
+    VALIDATED against it — the silent-mismatch footgun dies here."""
+    from docling_rag_spark.config import DEFAULT_NUM_BUCKETS
+
+    pinned = warehouse_num_buckets(out_dir)
+    if requested is None:
+        return pinned if pinned is not None else (default or
+                                                  DEFAULT_NUM_BUCKETS)
+    if pinned is not None and requested != pinned:
+        raise BucketSpecMismatch(
+            f"num_buckets={requested} but this warehouse is laid out at "
+            f"{pinned}; use rebucket_warehouse to change the spec")
+    return requested
+
+
+def pin_num_buckets(out_dir: str, n: int, *, allow_change: bool = False
+                    ) -> None:
+    """Record the warehouse's bucket modulus (call inside the commit
+    lock). Idempotent at the same value; a different value raises unless
+    ``allow_change`` (only ``rebucket_warehouse`` passes it)."""
+    cur = warehouse_num_buckets(out_dir)
+    if cur == n:
+        return
+    if cur is not None and not allow_change:
+        raise BucketSpecMismatch(
+            f"cannot re-pin num_buckets {cur} -> {n}; use "
+            "rebucket_warehouse")
+    _write_json_atomic(_warehouse_props_path(out_dir), {"num_buckets": n})
+
+
 _PROTECTED_COLUMNS = ("url", "bucket")
 
 

@@ -81,7 +81,7 @@ def run_extraction(
     pages_path: str,
     out_dir: str,
     snapshot_id: str = "snap-0",
-    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    num_buckets: int | None = None,
     buckets_per_batch: int | None = None,
     max_tokens: int = CHUNK_MAX_TOKENS,
     salt_partitions: int = DEFAULT_SALT_PARTITIONS,
@@ -118,6 +118,12 @@ def run_extraction(
     """
     if mode not in ("overwrite", "merge"):
         raise ValueError(f"mode must be 'overwrite' or 'merge', got {mode!r}")
+    # num_buckets is the warehouse's partition SPEC, not a per-run knob:
+    # omitted -> the pinned spec (DEFAULT_NUM_BUCKETS on a fresh
+    # warehouse); explicit -> validated against it (BucketSpecMismatch
+    # instead of silently scattering urls across a foreign modulus)
+    num_buckets = wh.resolve_num_buckets(out_dir, num_buckets,
+                                         DEFAULT_NUM_BUCKETS)
     pages = spark.read.parquet(pages_path)
 
     # conflict base: the instant this job read its base state. Using the
@@ -305,6 +311,7 @@ def run_extraction(
                 # which would silently corrupt every earlier as-of read.
                 commit_id = f"{snapshot_id}-b{batch_idx}-{run_id}"
                 finished = wh.now()
+                wh.pin_num_buckets(out_dir, num_buckets)
                 for tbl in ("chunks", "extracted"):
                     # evolve the pinned table schema BEFORE the renames: a
                     # reader must never see files the pinned schema cannot
@@ -424,7 +431,7 @@ def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
 
 
 def delete_urls(spark: SparkSession, out_dir: str, urls: list[str],
-                num_buckets: int = DEFAULT_NUM_BUCKETS,
+                num_buckets: int | None = None,
                 tables: tuple[str, ...] = ("chunks", "extracted",
                                            "embeddings", "registry")) -> dict:
     """Delete documents by url across all warehouse tables (reference
@@ -438,6 +445,7 @@ def delete_urls(spark: SparkSession, out_dir: str, urls: list[str],
     other bucket's files are untouched (the same partition-pruned shape a
     real DELETE takes on a bucket-partitioned Iceberg table).
     """
+    num_buckets = wh.resolve_num_buckets(out_dir, num_buckets)
     urls_df = spark.createDataFrame([(u,) for u in urls], "url string")
     buckets = sorted({
         r["bucket"]

@@ -138,7 +138,8 @@ def upsert_registry_table(spark, out_dir: str, updates: DataFrame,
     from docling_rag_spark.io import warehouse as wh
     from docling_rag_spark.plans.job import bucket_of
 
-    num_buckets = num_buckets or DEFAULT_NUM_BUCKETS
+    num_buckets = wh.resolve_num_buckets(out_dir, num_buckets,
+                                         DEFAULT_NUM_BUCKETS)
     table_dir = os.path.join(out_dir, "registry")
     updates = collapse_updates(normalize_updates(updates))
     buckets = sorted({
@@ -200,6 +201,7 @@ def upsert_registry_table(spark, out_dir: str, updates: DataFrame,
             with wh.commit_lock(out_dir):
                 if bucket_sig() != base_sig:
                     continue  # concurrent commit: re-merge on fresh base
+                wh.pin_num_buckets(out_dir, num_buckets)
                 wh.pin_table_schema(
                     out_dir, "registry",
                     merged.withColumn(

@@ -28,7 +28,7 @@ from docling_rag_spark.io import warehouse as wh
 
 
 def fold_stream_chunks(spark: SparkSession, out_dir: str,
-                       num_buckets: int = DEFAULT_NUM_BUCKETS,
+                       num_buckets: int | None = None,
                        include_newest: bool = False) -> dict:
     """Merge streaming ``chunks/batch=<id>`` dirs into the bucketed table.
 
@@ -46,11 +46,14 @@ def fold_stream_chunks(spark: SparkSession, out_dir: str,
     optimistic-concurrency validation and appends lineage, so concurrent
     extraction jobs see the fold exactly like any newer snapshot commit.
 
-    ``num_buckets`` MUST match the bucketed table's modulus — it is the
-    table's partition spec, not a tuning knob of this job.
+    ``num_buckets`` is the table's partition spec, not a tuning knob of
+    this job: omitted it resolves from the pinned warehouse spec, explicit
+    it is validated against it (``BucketSpecMismatch``).
     """
     from docling_rag_spark.plans.job import _committed_bucket_rows, bucket_of
 
+    num_buckets = wh.resolve_num_buckets(out_dir, num_buckets,
+                                         DEFAULT_NUM_BUCKETS)
     chunks_dir = os.path.join(out_dir, "chunks")
     if not os.path.isdir(chunks_dir):
         return {"folded_batches": 0, "rows_folded": 0}

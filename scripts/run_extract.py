@@ -26,7 +26,9 @@ def main() -> int:
     ap.add_argument("--pages", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--snapshot", default="snap-0")
-    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--buckets", type=int, default=None,
+                    help="url-hash modulus; omitted = the warehouse's "
+                         "pinned spec (64 on a fresh warehouse)")
     ap.add_argument("--buckets-per-batch", type=int, default=None)
     ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--salt-partitions", type=int, default=None)

@@ -11,11 +11,13 @@ Usage:
     python scripts/snapshots_cli.py schema   --out <wh> --table extracted
     python scripts/snapshots_cli.py drop-column --out <wh> --table extracted \
         --column <name>
+    python scripts/snapshots_cli.py rebucket --out <wh> --to <N>
 
 The Iceberg analogs: snapshot metadata listing, ``SELECT ... FOR
 TIMESTAMP AS OF``, ``rollback_to_timestamp``, ``expire_snapshots``,
-``DESCRIBE TABLE`` and ``ALTER TABLE ... DROP COLUMN`` (metadata-only;
-data files are cleaned up by later bucket rewrites).
+``DESCRIBE TABLE``, ``ALTER TABLE ... DROP COLUMN`` (metadata-only;
+data files are cleaned up by later bucket rewrites), and partition-spec
+evolution + ``rewrite_data_files`` (rebucket).
 Prints one JSON line per invocation.
 """
 
@@ -32,13 +34,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("cmd", choices=("log", "read", "rollback", "expire",
-                                    "schema", "drop-column"))
+                                    "schema", "drop-column", "rebucket"))
     ap.add_argument("--out", required=True)
     ap.add_argument("--table", default="extracted")
     ap.add_argument("--column", default=None)
+    ap.add_argument("--to", type=int, default=None,
+                    help="rebucket: the new url-hash modulus")
     ap.add_argument("--as-of", type=float, default=None)
     ap.add_argument("--older-than", type=float, default=None)
-    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--buckets", type=int, default=None)
     ap.add_argument("--limit", type=int, default=10)
     ap.add_argument("--cores", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
@@ -83,6 +87,18 @@ def main() -> int:
                           "remaining": [f.name for f in
                                         wh.pinned_table_schema(
                                             args.out, args.table).fields]}))
+        return 0
+
+    if args.cmd == "rebucket":
+        if args.to is None:
+            ap.error("rebucket requires --to")
+        import docling_rag_spark
+        from docling_rag_spark.plans.maintenance import rebucket_warehouse
+        from docling_rag_spark.session import get_spark
+
+        spark = get_spark(app_name="rebucket", cores=args.cores)
+        docling_rag_spark.ship(spark)
+        print(json.dumps(rebucket_warehouse(spark, args.out, args.to)))
         return 0
 
     if args.cmd == "expire":
