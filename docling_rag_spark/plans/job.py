@@ -265,7 +265,14 @@ def run_extraction(
                     new = (old_chunks.join(new_urls, "url", "left_anti")
                            .unionByName(new, allowMissingColumns=True))
                 staged_schema["chunks"] = new.schema
-                (new.write.partitionBy("bucket").mode("overwrite")
+                # url-sorted within each bucket: parquet row-group min/max
+                # stats on url become tight and disjoint, so point lookups
+                # and delete rewrites prune row groups instead of scanning
+                # the whole bucket (the sort SATISFIES the partitionBy
+                # write's required child ordering — it replaces the
+                # bucket-only sort Spark would insert, not adds to it)
+                (new.sortWithinPartitions("bucket", "url", "chunk_id")
+                 .write.partitionBy("bucket").mode("overwrite")
                  .parquet(os.path.join(staging, "chunks")))
 
             def _write_extracted():
@@ -274,7 +281,8 @@ def run_extraction(
                     new = (old_extracted.join(new_urls, "url", "left_anti")
                            .unionByName(new, allowMissingColumns=True))
                 staged_schema["extracted"] = new.schema
-                (new.write.partitionBy("bucket").mode("overwrite")
+                (new.sortWithinPartitions("bucket", "url")
+                 .write.partitionBy("bucket").mode("overwrite")
                  .parquet(os.path.join(staging, "extracted")))
 
             with ThreadPoolExecutor(max_workers=3) as pool:
@@ -513,7 +521,10 @@ def _delete_bucketed(spark, out_dir: str, table_dir: str, urls_df,
     kept = sub.join(F.broadcast(urls_df), "url", "left_anti")
     stage_tbl = os.path.join(staging, table)
     shutil.rmtree(stage_tbl, ignore_errors=True)
+    sort_cols = ["bucket", "url"] + (["chunk_id"]
+                                     if "chunk_id" in kept.columns else [])
     (kept.repartition(max(len(buckets), 1), F.col("bucket"))
+     .sortWithinPartitions(*sort_cols)
      .write.partitionBy("bucket").mode("overwrite").parquet(stage_tbl))
     # a zero-row partitionBy write leaves only _SUCCESS: no files to infer
     # a schema from, so probe for parquet parts before reading back

@@ -109,6 +109,7 @@ def rebucket_warehouse(spark: SparkSession, out_dir: str, new_buckets: int,
                 # between bucket ids (hash-repartition on the
                 # low-cardinality key leaves ~1/e of slots empty)
                 (df.repartitionByRange(new_buckets, F.col("bucket"))
+                 .sortWithinPartitions("bucket", *key)
                  .write.partitionBy("bucket").mode("overwrite")
                  .parquet(os.path.join(staging_root, t)))
                 # a new-range bucket no row hashed into gets no staged dir

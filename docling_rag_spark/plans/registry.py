@@ -191,6 +191,7 @@ def upsert_registry_table(spark, out_dir: str, updates: DataFrame,
         shutil.rmtree(staging, ignore_errors=True)
         (merged.withColumn("bucket", bucket_of(F.col("url"), num_buckets))
          .repartition(max(len(buckets), 1), F.col("bucket"))
+         .sortWithinPartitions("bucket", "url")
          .write.partitionBy("bucket").mode("overwrite").parquet(staging))
         # buckets that vanished entirely still need their old dir replaced
         for b in buckets:

@@ -97,6 +97,7 @@ def fold_stream_chunks(spark: SparkSession, out_dir: str,
         read_ts = wh.now()
         try:
             (merged.repartition(len(buckets), F.col("bucket"))
+             .sortWithinPartitions("bucket", "url", "chunk_id")
              .write.partitionBy("bucket").mode("overwrite").parquet(staging))
             with wh.commit_lock(out_dir):
                 newer = wh.conflicting_buckets(out_dir, snap_id, buckets,
