@@ -113,6 +113,31 @@ def test_wrong_modulus_rejected(spark, tmp_path):
                    salt_partitions=2)
 
 
+def test_retained_shrink_time_travels_through_retired_buckets(spark,
+                                                              tmp_path):
+    """Shrinking the modulus RETIRES beyond-range dirs; with retention on
+    they park as logged history, so an as-of read before the rebucket
+    still reassembles the full old-modulus table."""
+    base = generate_pages(14, seed=106)
+    p = str(tmp_path / "p.parquet")
+    _write(base, p)
+    out = str(tmp_path / "wh")
+    run_extraction(spark, p, out, num_buckets=8, salt_partitions=2,
+                   retain_snapshots=True)
+    pre = _content(spark, out, "extracted")
+    time.sleep(0.05)
+    ts_mid = wh.now()
+    time.sleep(0.05)
+    rebucket_warehouse(spark, out, 3)
+    assert max(_bucket_ids(out, "extracted")) < 3
+    assert _content(spark, out, "extracted") == pre
+    asof = snap.read_table_as_of(spark, out, "extracted", ts_mid)
+    cols = sorted(c for c in asof.columns if c != "bucket")
+    got = sorted(tuple(str(v) for v in r)
+                 for r in asof.select(cols).collect())
+    assert got == pre
+
+
 def test_rebucket_is_time_travelable(spark, tmp_path):
     base = generate_pages(12, seed=105)
     p = str(tmp_path / "p.parquet")
