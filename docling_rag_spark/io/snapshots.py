@@ -374,10 +374,14 @@ def read_table_as_of(spark, out_dir: str, table: str, ts: float,
     from pyspark.sql import types as T
 
     from docling_rag_spark.io.warehouse import (pinned_table_schema,
-                                                resolve_num_buckets)
+                                                warehouse_num_buckets)
 
-    num_buckets = resolve_num_buckets(out_dir, num_buckets,
-                                      DEFAULT_NUM_BUCKETS)
+    # a pure read of history: an explicit modulus is honored verbatim
+    # (time travel to before a rebucket legitimately uses the OLD spec —
+    # the modulus only parameterizes the re-derived bucket column here,
+    # so write-path spec validation would wrongly reject it)
+    if num_buckets is None:
+        num_buckets = warehouse_num_buckets(out_dir) or DEFAULT_NUM_BUCKETS
     paths = [p for p in resolve_as_of(out_dir, table, ts).values()
              if p is not None]
     if not paths:
@@ -470,6 +474,14 @@ def rollback_table(out_dir: str, table: str, ts: float) -> dict:
     commit_id = f"rollback-{uuid.uuid4().hex[:12]}"
     with commit_lock(out_dir):
         recover_intents(out_dir)
+        # a crashed prior rollback can leave hidden half-copied staging
+        # dirs (.rollback-<b>-<uuid>) that nothing else sweeps — Spark
+        # listing ignores them, but the disk leak is unbounded
+        if os.path.isdir(table_dir):
+            for e in os.listdir(table_dir):
+                if e.startswith(".rollback-"):
+                    shutil.rmtree(os.path.join(table_dir, e),
+                                  ignore_errors=True)
         resolved = resolve_as_of(out_dir, table, ts)
         park = retained_dir(out_dir, table, commit_id)
         commit_ts = now()

@@ -53,6 +53,25 @@ def bucket_dir(table_dir: str, bucket: int) -> str:
     return os.path.join(table_dir, f"bucket={bucket}")
 
 
+def _holder_alive(token: bytes) -> bool:
+    """Is the lock holder's pid still running? Lock files are local-disk
+    (one warehouse = one machine's commit lock), so a dead pid means the
+    holder crashed inside its critical section — the lock is stealable NOW
+    instead of after ``stale_sec``, which matters most for READERS
+    (``resolve_as_of`` repairs crashed commits under this lock; without
+    the liveness check every time-travel read after a writer kill -9
+    would block out the full stale window). Pid reuse or a malformed
+    token degrades conservatively to the age-based rule."""
+    try:
+        pid = int(token.split(b"-", 1)[0])
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except (ValueError, PermissionError, OSError):
+        return True  # unparseable or not ours to signal: assume alive
+    return True
+
+
 class CommitConflict(RuntimeError):
     """Another writer committed a NEWER input snapshot for these buckets
     after this job read its base state — completing the stale commit would
@@ -107,7 +126,7 @@ class commit_lock:
                         seen_token = f.read()
                 except FileNotFoundError:
                     continue  # released between the failed open and stat
-                if age > self.stale_sec:
+                if age > self.stale_sec or not _holder_alive(seen_token):
                     # atomic steal: only one waiter wins the rename; the
                     # loser's rename raises and it simply retries. Verify
                     # the renamed file IS the stale lock we statted — the
@@ -452,29 +471,87 @@ def _warehouse_props_path(out_dir: str) -> str:
     return os.path.join(out_dir, "_schema", "_warehouse.json")
 
 
-def warehouse_num_buckets(out_dir: str) -> int | None:
-    """The pinned url-hash modulus, or None for a warehouse written before
-    spec pinning existed (callers' explicit value is trusted as before)."""
+def _warehouse_props(out_dir: str) -> dict:
     import json
 
     p = _warehouse_props_path(out_dir)
     if not os.path.isfile(p):
-        return None
+        return {}
     with open(p) as f:
-        return json.load(f).get("num_buckets")
+        return json.load(f)
+
+
+def warehouse_num_buckets(out_dir: str) -> int | None:
+    """The pinned url-hash modulus, or None for a warehouse written before
+    spec pinning existed."""
+    return _warehouse_props(out_dir).get("num_buckets")
+
+
+def rebucket_in_progress(out_dir: str) -> int | None:
+    """Target modulus of a rebucket that started (and possibly crashed)
+    without completing, or None. Set by ``rebucket_warehouse`` BEFORE any
+    table rewrite and cleared by its final spec pin, so a crash anywhere
+    between leaves the marker for writers to trip over."""
+    return _warehouse_props(out_dir).get("rebucket_to")
+
+
+def mark_rebucket(out_dir: str, current: int | None, target: int) -> None:
+    _write_json_atomic(_warehouse_props_path(out_dir),
+                       {"num_buckets": current, "rebucket_to": target})
+
+
+def _max_bucket_dir_id(out_dir: str) -> int | None:
+    """Highest ``bucket=<k>`` id across the warehouse's table dirs, or
+    None when no bucketed table exists yet (fresh warehouse)."""
+    best = None
+    if not os.path.isdir(out_dir):
+        return None
+    for t in os.listdir(out_dir):
+        if t.startswith((".", "_")):
+            continue
+        td = os.path.join(out_dir, t)
+        if not os.path.isdir(td):
+            continue
+        for e in os.listdir(td):
+            if e.startswith("bucket="):
+                try:
+                    b = int(e.split("=", 1)[1])
+                except ValueError:
+                    continue
+                best = b if best is None else max(best, b)
+    return best
 
 
 def resolve_num_buckets(out_dir: str, requested: int | None,
                         default: int | None = None) -> int:
-    """One resolution rule for every job: an omitted modulus comes from
-    the warehouse spec (falling back to ``default``), an explicit one is
-    VALIDATED against it — the silent-mismatch footgun dies here."""
+    """One resolution rule for every writing job: an omitted modulus comes
+    from the warehouse spec, an explicit one is VALIDATED against it — the
+    silent-mismatch footgun dies here, not in a reader's plan.
+
+    A LEGACY warehouse (bucketed data, no pinned spec) REFUSES the
+    default: silently assuming 64 over a layout built at another modulus
+    would scatter every url across two buckets and then pin the wrong
+    spec. The operator passes the layout's true modulus once; it is
+    layout-validated (``pin_num_buckets``) and pinned at the next commit.
+    """
     from docling_rag_spark.config import DEFAULT_NUM_BUCKETS
 
+    target = rebucket_in_progress(out_dir)
+    if target is not None:
+        raise BucketSpecMismatch(
+            f"a rebucket to {target} started but did not complete; rerun "
+            f"`snapshots_cli.py rebucket --to {target}` before writing "
+            "(the table may hold a mix of both layouts until then)")
     pinned = warehouse_num_buckets(out_dir)
     if requested is None:
-        return pinned if pinned is not None else (default or
-                                                  DEFAULT_NUM_BUCKETS)
+        if pinned is not None:
+            return pinned
+        if _max_bucket_dir_id(out_dir) is not None:
+            raise BucketSpecMismatch(
+                "this warehouse has bucketed data but no pinned spec "
+                "(written by an older version); pass num_buckets matching "
+                "its layout explicitly — it will be validated and pinned")
+        return default or DEFAULT_NUM_BUCKETS
     if pinned is not None and requested != pinned:
         raise BucketSpecMismatch(
             f"num_buckets={requested} but this warehouse is laid out at "
@@ -486,18 +563,36 @@ def pin_num_buckets(out_dir: str, n: int, *, allow_change: bool = False
                     ) -> None:
     """Record the warehouse's bucket modulus (call inside the commit
     lock). Idempotent at the same value; a different value raises unless
-    ``allow_change`` (only ``rebucket_warehouse`` passes it)."""
+    ``allow_change`` (only ``rebucket_warehouse`` passes it, which is
+    also how a completed rebucket clears its in-progress marker). A first
+    pin is validated against the physical layout: a bucket dir id >= n
+    proves the data was laid out at a larger modulus."""
     cur = warehouse_num_buckets(out_dir)
-    if cur == n:
+    if cur == n and rebucket_in_progress(out_dir) is None:
         return
-    if cur is not None and not allow_change:
+    if cur is not None and cur != n and not allow_change:
         raise BucketSpecMismatch(
             f"cannot re-pin num_buckets {cur} -> {n}; use "
             "rebucket_warehouse")
+    if cur is None:
+        top = _max_bucket_dir_id(out_dir)
+        if top is not None and top >= n:
+            raise BucketSpecMismatch(
+                f"cannot pin num_buckets={n}: bucket dirs up to id {top} "
+                "exist, so the layout modulus is larger")
     _write_json_atomic(_warehouse_props_path(out_dir), {"num_buckets": n})
 
 
 _PROTECTED_COLUMNS = ("url", "bucket")
+
+# natural row keys per bucketed table (also the rebucket dedup keys and
+# the sorted-layout sort keys): identity columns, not droppable
+TABLE_KEYS = {
+    "chunks": ("url", "chunk_id"),
+    "extracted": ("url",),
+    "registry": ("url",),
+    "embeddings": ("url", "chunk_id"),
+}
 
 
 def drop_table_column(out_dir: str, table: str, col: str) -> None:
@@ -516,7 +611,7 @@ def drop_table_column(out_dir: str, table: str, col: str) -> None:
             raise SchemaEvolutionError(
                 f"table {table!r} has no pinned schema; drop applies to "
                 "schema metadata, which this warehouse predates")
-        if col in _PROTECTED_COLUMNS:
+        if col in _PROTECTED_COLUMNS or col in TABLE_KEYS.get(table, ()):
             raise SchemaEvolutionError(
                 f"column {col!r} is the table's identity/partition key "
                 "and cannot be dropped")

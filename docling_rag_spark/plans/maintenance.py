@@ -23,23 +23,20 @@ import os
 import shutil
 import uuid
 
+import pyarrow.parquet as pq
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from docling_rag_spark.io import snapshots as snap
 from docling_rag_spark.io import warehouse as wh
 
-# natural row keys per bucketed table: rebucket re-reads whatever bucket
-# dirs exist, so a rerun after a mid-job crash can see a url in BOTH its
-# old-modulus and new-modulus bucket; keyed dedup makes the rerun restore
-# exactly-once semantics (full-row duplicates are always rebucket
-# artifacts — every table is unique on its key by construction)
-_TABLE_KEYS = {
-    "chunks": ["url", "chunk_id"],
-    "extracted": ["url"],
-    "registry": ["url"],
-    "embeddings": ["url", "chunk_id"],
-}
+# natural row keys per bucketed table (warehouse.TABLE_KEYS): rebucket
+# re-reads whatever bucket dirs exist, so a rerun after a mid-job crash
+# can see a url in BOTH its old-modulus and new-modulus bucket; keyed
+# dedup makes the rerun restore exactly-once semantics (full-row
+# duplicates are always rebucket artifacts — every table is unique on
+# its key by construction, and the keys are drop-protected)
+_TABLE_KEYS = {t: list(k) for t, k in wh.TABLE_KEYS.items()}
 
 
 def rebucket_warehouse(spark: SparkSession, out_dir: str, new_buckets: int,
@@ -77,6 +74,14 @@ def rebucket_warehouse(spark: SparkSession, out_dir: str, new_buckets: int,
 
     with wh.commit_lock(os.path.join(out_dir, "_compaction"),
                         timeout=30.0, stale_sec=3600.0):
+        # In-progress marker FIRST (the crash story's linchpin): until the
+        # final spec pin clears it, every writing job's
+        # resolve_num_buckets refuses to run — a crash mid-rebucket can
+        # leave a mixed-modulus table, and a writer resolving the OLD
+        # spec over it would silently duplicate rows. The rerun of this
+        # same command is the recovery; it tolerates the marker.
+        with wh.commit_lock(out_dir):
+            wh.mark_rebucket(out_dir, old_pinned, new_buckets)
         base_ts = wh.now()
         present = [t for t in tables
                    if os.path.isdir(os.path.join(out_dir, t))
@@ -103,8 +108,6 @@ def rebucket_warehouse(spark: SparkSession, out_dir: str, new_buckets: int,
                       .withColumn("bucket",
                                   F.pmod(F.xxhash64("url"),
                                          F.lit(new_buckets)).cast("int")))
-                n = df.count()
-                stats[t] = n
                 # one whole bucket per output task: range boundaries land
                 # between bucket ids (hash-repartition on the
                 # low-cardinality key leaves ~1/e of slots empty)
@@ -112,6 +115,14 @@ def rebucket_warehouse(spark: SparkSession, out_dir: str, new_buckets: int,
                  .sortWithinPartitions("bucket", *key)
                  .write.partitionBy("bucket").mode("overwrite")
                  .parquet(os.path.join(staging_root, t)))
+                # row count from the staged footers (metadata-only): a
+                # df.count() here would execute the whole read+dedup plan
+                # a second time — doubling a job sized for 10^12 docs
+                stats[t] = sum(
+                    pq.ParquetFile(os.path.join(root, fn)).metadata.num_rows
+                    for root, _dirs, files in
+                    os.walk(os.path.join(staging_root, t))
+                    for fn in files if fn.endswith(".parquet"))
                 # a new-range bucket no row hashed into gets no staged dir
                 # and commit_buckets would SKIP it — its old-modulus dir
                 # would survive holding rows now duplicated elsewhere;
