@@ -38,7 +38,6 @@ def get_spark(app_name: str = "docling-rag-spark",
     shuffle_partitions = shuffle_partitions or max(cores, 8)
     builder = (
         SparkSession.builder
-        .master(f"local[{cores}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
@@ -57,6 +56,16 @@ def get_spark(app_name: str = "docling-rag-spark",
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
     )
+    # Master resolution: an explicit SPARK_GRAFT_MASTER wins (used by
+    # scripts/bench_cluster.py); under spark-submit the launcher has
+    # already fixed the master in the gateway JVM's conf (detectable via
+    # PYSPARK_GATEWAY_PORT), so setting one here would silently override
+    # the submitted cluster with local mode; otherwise local[cores].
+    master = os.environ.get("SPARK_GRAFT_MASTER")
+    if master:
+        builder = builder.master(master)
+    elif "PYSPARK_GATEWAY_PORT" not in os.environ:
+        builder = builder.master(f"local[{cores}]")
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -1,0 +1,220 @@
+#!/usr/bin/env python
+"""North-rule scaling evidence on a REAL multi-executor standalone cluster.
+
+BASELINE.json's rule says: "run via spark-submit --py-files on a
+multi-executor cluster at two cluster sizes (N and 4N executors) with
+throughput scaling efficiency >=0.8".  scripts/bench_scaling.py evidences
+this with local[N] thread counts (the sandbox proxy the driver mandated);
+THIS script removes the proxy: it boots a genuine Spark standalone cluster
+on the box — one Master JVM + 4 Worker JVMs — and submits the identical
+extraction job via the real `spark-submit --py-files` surface twice:
+
+  * N  executors: spark.cores.max = 1 * executor_cores  -> 1 executor JVM
+  * 4N executors: spark.cores.max = 4 * executor_cores  -> 4 executor JVMs
+    (one per worker — genuinely separate executor processes, netty shuffle,
+    Arrow batches crossing real process boundaries)
+
+Workers stay up across every trial, so the cluster itself is identical at
+both sizes; only the executor count differs — exactly the N vs 4N contract.
+Trials are interleaved (N, 4N, N, 4N, ...) and bracketed by pure-CPU probes
+so co-tenant drift is visible, same protocol as bench_scaling.py.  With
+executor_cores=2 the two sizes use 2 and 8 real cores — inside this box's
+linear region (the 32 vCPUs are ~16 real cores; see BASELINE.md).
+
+Usage:
+  python scripts/bench_cluster.py [--docs 100000] [--trials 2]
+      [--executors 1 4] [--executor-cores 2] [--executor-mem 4g]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import socket
+import subprocess
+import sys
+import tempfile
+import time
+import urllib.request
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+sys.path.insert(0, REPO)
+
+from bench_scaling import cpu_ceiling  # noqa: E402
+
+MASTER_PORT = 7077
+MASTER_UI_PORT = 8089
+HOST = "127.0.0.1"
+
+
+def spark_bin(name: str) -> str:
+    import pyspark
+    return os.path.join(os.path.dirname(pyspark.__file__), "bin", name)
+
+
+def wait_port(port: int, timeout: float = 60.0) -> None:
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        try:
+            with socket.create_connection((HOST, port), timeout=1):
+                return
+        except OSError:
+            time.sleep(0.5)
+    raise TimeoutError(f"port {port} not listening after {timeout}s")
+
+
+def wait_workers(n: int, timeout: float = 90.0) -> None:
+    """Poll the master's JSON endpoint until n workers are ALIVE."""
+    t0 = time.time()
+    url = f"http://{HOST}:{MASTER_UI_PORT}/json/"
+    while time.time() - t0 < timeout:
+        try:
+            with urllib.request.urlopen(url, timeout=2) as r:
+                data = json.loads(r.read())
+            alive = [w for w in data.get("workers", [])
+                     if w.get("state") == "ALIVE"]
+            if len(alive) >= n:
+                return
+        except OSError:
+            pass
+        time.sleep(1)
+    raise TimeoutError(f"{n} workers not registered after {timeout}s")
+
+
+def launch(cls: str, args: list[str], log: str, env: dict) -> subprocess.Popen:
+    cmd = [spark_bin("spark-class"), cls, *args]
+    f = open(log, "w")
+    return subprocess.Popen(cmd, stdout=f, stderr=subprocess.STDOUT, env=env)
+
+
+def submit_job(pages: str, out: str, n_exec: int, exec_cores: int,
+               exec_mem: str, pyzip: str, tmp: str) -> dict:
+    total_cores = n_exec * exec_cores
+    cmd = [
+        spark_bin("spark-submit"),
+        "--master", f"spark://{HOST}:{MASTER_PORT}",
+        "--py-files", pyzip,
+        "--conf", f"spark.executor.cores={exec_cores}",
+        "--conf", f"spark.executor.memory={exec_mem}",
+        "--conf", f"spark.cores.max={total_cores}",
+        # block until every requested executor registers, so the timed
+        # region runs at the advertised cluster size from the first task
+        "--conf", "spark.scheduler.minRegisteredResourcesRatio=1.0",
+        "--conf", "spark.scheduler.maxRegisteredResourcesWaitingTime=120s",
+        "--conf", "spark.driver.memory=8g",
+        "--conf", f"spark.pyspark.python={sys.executable}",
+        "--conf", "spark.ui.enabled=false",
+        os.path.join(REPO, "scripts", "run_extract.py"),
+        "--pages", pages, "--out", out, "--warmup",
+        "--buckets", "256", "--cores", str(total_cores),
+        "--salt-partitions", str(max(total_cores, 8)),
+    ]
+    env = dict(os.environ)
+    env["PYSPARK_PYTHON"] = sys.executable
+    env.setdefault("SPARK_LOCAL_DIRS", os.path.join(tmp, "spark-local"))
+    proc = subprocess.run(cmd, capture_output=True, text=True, env=env)
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stdout[-4000:] + "\n" + proc.stderr[-8000:])
+        raise RuntimeError(f"spark-submit rc={proc.returncode}")
+    line = [ln for ln in proc.stdout.strip().splitlines()
+            if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=100000)
+    ap.add_argument("--heaviness", type=int, default=4)
+    ap.add_argument("--trials", type=int, default=2)
+    ap.add_argument("--executors", type=int, nargs=2, default=[1, 4],
+                    metavar=("N", "4N"))
+    ap.add_argument("--executor-cores", type=int, default=2)
+    ap.add_argument("--executor-mem", default="4g")
+    args = ap.parse_args()
+
+    lo, hi = sorted(args.executors)
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    tmp = tempfile.mkdtemp(prefix="bench_cluster_", dir=base)
+    procs: list[subprocess.Popen] = []
+    try:
+        pages = os.path.join(tmp, "pages.parquet")
+        from docling_rag_spark.sources.pages import write_pages_parquet
+        n = write_pages_parquet(pages, args.docs, heaviness=args.heaviness)
+
+        pyzip = os.path.join(tmp, "docling_rag_spark.zip")
+        subprocess.run([sys.executable,
+                        os.path.join(REPO, "scripts", "package_pyfiles.py"),
+                        pyzip], check=True, capture_output=True)
+
+        env = dict(os.environ)
+        env.setdefault("SPARK_NO_DAEMONIZE", "1")
+        procs.append(launch(
+            "org.apache.spark.deploy.master.Master",
+            ["--host", HOST, "--port", str(MASTER_PORT),
+             "--webui-port", str(MASTER_UI_PORT)],
+            os.path.join(tmp, "master.log"), env))
+        wait_port(MASTER_PORT)
+        for i in range(hi):
+            procs.append(launch(
+                "org.apache.spark.deploy.worker.Worker",
+                ["--cores", str(args.executor_cores),
+                 "--memory", args.executor_mem,
+                 "--port", "0", "--webui-port", "0",
+                 "--work-dir", os.path.join(tmp, f"worker{i}"),
+                 f"spark://{HOST}:{MASTER_PORT}"],
+                os.path.join(tmp, f"worker{i}.log"), env))
+        wait_workers(hi)
+
+        core_levels = [lo * args.executor_cores, hi * args.executor_cores]
+        probe_before = cpu_ceiling(core_levels)
+        trials: dict[int, list[float]] = {lo: [], hi: []}
+        effs: list[float] = []
+        for t in range(args.trials):
+            per = {}
+            for n_exec in (lo, hi):
+                out = os.path.join(tmp, f"wh_e{n_exec}_t{t}")
+                r = submit_job(pages, out, n_exec, args.executor_cores,
+                               args.executor_mem, pyzip, tmp)
+                per[n_exec] = r["docs_per_sec"]
+                trials[n_exec].append(r["docs_per_sec"])
+                shutil.rmtree(out, ignore_errors=True)
+            effs.append(round((per[hi] / per[lo]) / (hi / lo), 3))
+        probe_after = cpu_ceiling(core_levels)
+
+        med = sorted(effs)[len(effs) // 2]
+        print(json.dumps({
+            "metric": "extraction scaling efficiency (standalone cluster)",
+            "mode": "spark-standalone: 1 master + "
+                    f"{hi} worker JVMs, spark-submit --py-files",
+            "n_docs": n,
+            "executor_cores": args.executor_cores,
+            "executor_mem": args.executor_mem,
+            "executors_levels": [lo, hi],
+            "trials_docs_per_sec": {str(k): v for k, v in trials.items()},
+            "efficiencies": effs,
+            "efficiency": med,
+            "executor_ratio": hi / lo,
+            "target": 0.8,
+            "pass": med >= 0.8,
+            "hw_probe_Mmd5_before": {str(c): probe_before[c]
+                                     for c in core_levels},
+            "hw_probe_Mmd5_after": {str(c): probe_after[c]
+                                    for c in core_levels},
+        }))
+        return 0
+    finally:
+        for p in procs[::-1]:
+            p.terminate()
+        for p in procs[::-1]:
+            try:
+                p.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                p.kill()
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
