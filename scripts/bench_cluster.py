@@ -90,10 +90,11 @@ def launch(cls: str, args: list[str], log: str, env: dict) -> subprocess.Popen:
     return subprocess.Popen(cmd, stdout=f, stderr=subprocess.STDOUT, env=env)
 
 
-def submit_job(pages: str, out: str, n_exec: int, exec_cores: int,
-               exec_mem: str, pyzip: str, tmp: str) -> dict:
+def submit_cmd(pages: str, out: str, n_exec: int, exec_cores: int,
+               exec_mem: str, pyzip: str,
+               extra_job_args: list[str] | None = None) -> list[str]:
     total_cores = n_exec * exec_cores
-    cmd = [
+    return [
         spark_bin("spark-submit"),
         "--master", f"spark://{HOST}:{MASTER_PORT}",
         "--py-files", pyzip,
@@ -111,10 +112,21 @@ def submit_job(pages: str, out: str, n_exec: int, exec_cores: int,
         "--pages", pages, "--out", out, "--warmup",
         "--buckets", "256", "--cores", str(total_cores),
         "--salt-partitions", str(max(total_cores, 8)),
+        *(extra_job_args or []),
     ]
+
+
+def submit_env(tmp: str) -> dict:
     env = dict(os.environ)
     env["PYSPARK_PYTHON"] = sys.executable
     env.setdefault("SPARK_LOCAL_DIRS", os.path.join(tmp, "spark-local"))
+    return env
+
+
+def submit_job(pages: str, out: str, n_exec: int, exec_cores: int,
+               exec_mem: str, pyzip: str, tmp: str) -> dict:
+    cmd = submit_cmd(pages, out, n_exec, exec_cores, exec_mem, pyzip)
+    env = submit_env(tmp)
     proc = subprocess.run(cmd, capture_output=True, text=True, env=env)
     if proc.returncode != 0:
         sys.stderr.write(proc.stdout[-4000:] + "\n" + proc.stderr[-8000:])
