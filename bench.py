@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "dedup_simhash_pairs",
     "dedup_ngram_jaccard",
+    "dedup_components",
     "text_quality",
     "text_lang_id",
     "text_fingerprint",

@@ -536,6 +536,101 @@ QUALIFY row_number() OVER (
 """
 
 
+# --- connected components over dup pairs ------------------------------------
+
+_CC_MAX_ITERS = 25
+
+
+def _cc_labels(pairs):
+    """(node, label) for every node in ``pairs`` — label = the minimum
+    doc_id reachable through the undirected pair graph (the component's
+    canonical id), via iterative min-label propagation.
+
+    Scale design: each pass is ONE equi-join of edges against labels plus
+    a groupBy — both shuffle on node id, no quadratic term anywhere.
+    Passes needed = graph diameter; near-dup clusters are shallow
+    (near-cliques from banding), so this converges in a handful of
+    passes. A 10^12-doc run with adversarial chain-shaped components
+    would swap in the large-star/small-star variant (same join shapes,
+    O(log n) passes). ``localCheckpoint`` truncates the per-pass lineage
+    growth that would otherwise blow up the plan; the convergence check
+    (changed-label count) is a driver-side scalar, not a collect."""
+    edges = pairs.select(F.col("doc_a").cast("bigint").alias("u"),
+                         F.col("doc_b").cast("bigint").alias("v"))
+    edges = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    labels = (edges.select(F.col("u").alias("node")).distinct()
+              .withColumn("label", F.col("node")).localCheckpoint())
+    # labels are monotonically non-increasing, so the label sum is a
+    # fixpoint witness: unchanged sum == no label moved (cheaper than a
+    # join-and-count convergence probe — one agg scalar per pass)
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(_CC_MAX_ITERS):
+        nb = (edges.join(labels.select(F.col("node").alias("v"),
+                                       F.col("label").alias("v_label")), "v")
+              .groupBy("u").agg(F.min("v_label").alias("nb_min")))
+        labels = (labels.join(nb.select(F.col("u").alias("node"), "nb_min"),
+                              "node", "left")
+                  .select("node",
+                          F.least(F.col("label"),
+                                  F.coalesce(F.col("nb_min"), F.col("label")))
+                          .alias("label"))
+                  .localCheckpoint())
+        new_sum = labels.agg(F.sum("label")).first()[0]
+        if new_sum == prev_sum:
+            return labels
+        prev_sum = new_sum
+    raise RuntimeError(
+        f"component labels did not converge in {_CC_MAX_ITERS} passes — "
+        "component diameter exceeds the propagation bound; use the "
+        "star-contraction variant for this graph")
+
+
+def dedup_components(spark, sf_dir, pairs=None):
+    """Transitive dup clusters: connected components over the MinHash-LSH
+    candidate pairs. Every document gets its component's canonical
+    (minimum) doc_id — pair lists say "A resembles B"; this is the step a
+    training-data pipeline actually acts on (keep one doc per component).
+    Singletons are their own component; ``is_canonical=1`` marks the
+    survivor row of each cluster."""
+    if pairs is None:
+        pairs = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels = _cc_labels(pairs)
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"))
+    comp = F.coalesce(F.col("label"), F.col("doc_id"))
+    return (docs.join(labels.withColumnRenamed("node", "doc_id"),
+                      "doc_id", "left")
+            .select("doc_id",
+                    comp.cast("bigint").alias("component"),
+                    F.when(comp == F.col("doc_id"), 1).otherwise(0)
+                    .cast("bigint").alias("is_canonical")))
+
+
+# The oracle computes the same components independently: full reachability
+# closure via a recursive CTE (min over every reachable node == min-label
+# fixpoint), deliberately NOT mirroring the Spark iteration.
+DEDUP_COMPONENTS_SQL = f"""
+WITH RECURSIVE edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM ({MINHASH_PAIRS_SQL}) p
+  UNION
+  SELECT doc_b, doc_a FROM ({MINHASH_PAIRS_SQL}) p
+), walk(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT w.u, e.v FROM walk w JOIN edges e ON w.v = e.u
+), comp AS (
+  SELECT u AS doc_id, least(u, min(v)) AS component FROM walk GROUP BY u
+)
+SELECT d.doc_id::BIGINT AS doc_id,
+       coalesce(c.component, d.doc_id)::BIGINT AS component,
+       (CASE WHEN coalesce(c.component, d.doc_id) = d.doc_id
+             THEN 1 ELSE 0 END)::BIGINT AS is_canonical
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_keep_first": (dedup_keep_first, DEDUP_KEEP_FIRST_SQL),
@@ -556,4 +651,8 @@ DIAGNOSTICS = {
     # jaccard blocking observability (driver window holds its pattern twin
     # dedup_simhash_band_stats; this one stays pytest-/bench-visible)
     "dedup_shingle_df_stats": (dedup_shingle_df_stats, SHINGLE_DF_STATS_SQL),
+    # transitive closure of the pair lists — lives here (not in the
+    # 50-entry driver window) but is oracle-verified by the local parity
+    # suite against an independent recursive-CTE closure
+    "dedup_components": (dedup_components, DEDUP_COMPONENTS_SQL),
 }

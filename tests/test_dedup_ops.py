@@ -57,3 +57,20 @@ def test_simhash_cap_mirrored_when_firing(spark):
     brute = _duck_pairs(SIMHASH_PAIRS_BRUTE_SQL)
     assert len(got) < len(brute), \
         "cap never fired at this SF; lower it so the mirror is exercised"
+
+
+def test_component_labels_transitive(spark):
+    """Min-label propagation must close chains transitively: A-B, B-C, C-D
+    is ONE component labeled by its minimum id, even though A and D never
+    share a pair — exactly what the pair queries alone cannot express."""
+    from docling_rag_spark.queries.dedup import _cc_labels
+
+    pairs = spark.createDataFrame(
+        [(7, 2), (2, 9), (9, 4),        # chain: component 2
+         (20, 21),                      # isolated pair: component 20
+         (30, 31), (31, 30)],           # duplicate/reversed edges collapse
+        "doc_a long, doc_b long")
+    got = {r["node"]: r["label"] for r in _cc_labels(pairs).collect()}
+    assert got == {7: 2, 2: 2, 9: 2, 4: 2,
+                   20: 20, 21: 20,
+                   30: 30, 31: 30}
