@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     "text_repetition",
     "corpus_boilerplate",
     "corpus_filter",
+    "events_kmv_users",
+    "shard_pack",
     "vec_topk_cosine",
     "vec_neardup_lsh",
     "vec_lsh_bucketed",

@@ -21,9 +21,11 @@ Portability rules (Spark ⇄ DuckDB hash-match):
 
 from __future__ import annotations
 
-from docling_rag_spark.queries import dedup, extraction, relational, textstats, vectors
+from docling_rag_spark.queries import (
+    curation, dedup, extraction, relational, textstats, vectors,
+)
 
-ALL_MODULES = (relational, textstats, dedup, vectors, extraction)
+ALL_MODULES = (relational, textstats, dedup, vectors, extraction, curation)
 
 
 def _registry():

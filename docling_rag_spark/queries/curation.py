@@ -1,0 +1,217 @@
+"""Corpus-curation operators a 100 TB training-data pipeline runs after
+filtering/dedup: cardinality sketches, deterministic sampling, shard
+packing. All DIAGNOSTICS (the 50-entry driver window is full) but every
+one is oracle-verified by the local parity suite — the sketches and
+samples here are *deterministic md5-hash constructions*, so unlike HLL
+(`events_approx_users`, rows-only by design) DuckDB reproduces them
+bit-for-bit.
+
+Portability: 48-bit md5-prefix hashes (≤2^53, exact in doubles should a
+reader ever cast) and pure BIGINT arithmetic for estimates — no float
+division anywhere near a comparison boundary.
+
+Scale design (10^12 rows):
+- KMV sketch: the k-minimum-values estimator merges by union+truncate, so
+  the plan does a salted map-side partial (k smallest per (key, salt))
+  before the per-key merge — the per-group state is k hashes, never the
+  distinct set. Estimate = (k-1) * 2^48 div kth_hash, integer math.
+- uniform sample: map-only hash predicate, no shuffle, any rate.
+- stratified sample: per-stratum smallest-k hashes via one window; ties
+  broken on doc_id so the selection is total-ordered and replayable.
+  (A pathologically hot stratum would reuse the KMV salt-merge shape.)
+- shard packing: global running token sum via the two-phase distributed
+  prefix sum — per-range partials, tiny offsets table window, broadcast
+  join back — not a single-partition window over the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+_H48_MAX = 1 << 48
+_KMV_K = 256
+_SAMPLE_PCT = 10            # uniform sample rate, percent
+_STRATA_QUOTA = 20          # docs kept per lang stratum
+_SHARD_TOKENS = 20000       # token budget per training shard
+_RANGE = 500                # doc_ids per prefix-sum range
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _h48(col):
+    """Portable 48-bit integer hash (md5-prefix; exact under 2^53)."""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("bigint")
+
+
+_H48_SQL = "('0x' || substr(md5({x}), 1, 12))::BIGINT"
+
+_TOKENS_SQL = "len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT"
+
+
+def _token_count(col):
+    return F.size(F.regexp_extract_all(F.lower(col),
+                                       F.lit("[a-z0-9]+"), F.lit(0))
+                  ).cast("bigint")
+
+
+# --- KMV distinct-cardinality sketch ----------------------------------------
+
+def events_kmv_users(spark, sf_dir):
+    """Distinct users per event type via a k-minimum-values sketch.
+
+    Two-phase: k smallest distinct hashes per (type, salt) map-side, then
+    union+sort+truncate per type — the mergeable-sketch shape, state k
+    values per group at every stage. ``n_seen < k`` means the sketch saw
+    the whole distinct set and the estimate is exact."""
+    ev = _t(spark, sf_dir, "events")
+    h = ev.select("event_type",
+                  _h48(F.col("user_id").cast("string")).alias("h"))
+    partial = (h.withColumn("salt", (F.col("h") % 16).cast("int"))
+               .groupBy("event_type", "salt")
+               .agg(F.slice(F.array_sort(F.collect_set("h")),
+                            1, _KMV_K).alias("part")))
+    merged = (partial.groupBy("event_type")
+              .agg(F.slice(F.array_sort(F.array_distinct(
+                  F.flatten(F.collect_list("part")))), 1, _KMV_K)
+                  .alias("topk")))
+    n_seen = F.size("topk").cast("bigint")
+    kth = F.element_at("topk", _KMV_K)
+    est = F.when(n_seen < _KMV_K, n_seen).otherwise(
+        F.expr(f"div({_KMV_K - 1} * cast({_H48_MAX} as bigint), "
+               f"element_at(topk, {_KMV_K}))"))
+    return (merged.select("event_type",
+                          n_seen.alias("n_seen"),
+                          F.when(n_seen < _KMV_K, None).otherwise(kth)
+                          .cast("bigint").alias("kth_hash"),
+                          est.cast("bigint").alias("est_users")))
+
+
+EVENTS_KMV_USERS_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT event_type, {_H48_SQL.format(x='user_id::VARCHAR')} AS h
+  FROM events
+), ranked AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM h
+), topk AS (
+  SELECT event_type, count(*)::BIGINT AS n_seen,
+         max(CASE WHEN rn = {_KMV_K} THEN h END) AS kth_hash
+  FROM ranked WHERE rn <= {_KMV_K} GROUP BY event_type
+)
+SELECT event_type, n_seen,
+       kth_hash::BIGINT AS kth_hash,
+       (CASE WHEN n_seen < {_KMV_K} THEN n_seen
+             ELSE ({_KMV_K - 1} * {_H48_MAX}::BIGINT) // kth_hash
+        END)::BIGINT AS est_users
+FROM topk
+"""
+
+
+# --- deterministic sampling --------------------------------------------------
+
+def sample_uniform(spark, sf_dir):
+    """Hash-gated Bernoulli sample: keep doc iff h48(doc_id) falls in the
+    lowest SAMPLE_PCT% of hash space. Map-only (no shuffle, no RNG
+    state), replayable on any cluster size, and composable — a second
+    pass at a lower rate keeps a strict subset."""
+    docs = _t(spark, sf_dir, "documents")
+    h = _h48(F.col("doc_id").cast("string"))
+    return (docs.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                        "lang", h.alias("h"))
+            .filter(F.col("h") * 100 < _SAMPLE_PCT * _H48_MAX)
+            .select("doc_id", "lang", "h"))
+
+
+SAMPLE_UNIFORM_SQL = f"""
+SELECT doc_id::BIGINT AS doc_id, lang,
+       {_H48_SQL.format(x='doc_id::VARCHAR')} AS h
+FROM documents
+WHERE {_H48_SQL.format(x='doc_id::VARCHAR')} * 100
+      < {_SAMPLE_PCT} * {_H48_MAX}::BIGINT
+"""
+
+
+def sample_stratified(spark, sf_dir):
+    """Per-language quota sample: the STRATA_QUOTA smallest-hash docs of
+    each lang — deterministic, order-free, and stable under corpus
+    growth (a doc leaves the sample only if displaced by a smaller
+    hash). Tie-broken on doc_id so the cut is total-ordered."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    return (docs.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                        "lang",
+                        _h48(F.col("doc_id").cast("string")).alias("h"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _STRATA_QUOTA)
+            .select("doc_id", "lang", F.col("rn").cast("bigint").alias("rn")))
+
+
+SAMPLE_STRATIFIED_SQL = f"""
+SELECT doc_id::BIGINT AS doc_id, lang, rn::BIGINT AS rn
+FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {_H48_SQL.format(x='doc_id::VARCHAR')}, doc_id) AS rn
+  FROM documents
+) WHERE rn <= {_STRATA_QUOTA}
+"""
+
+
+# --- token-budget shard packing ----------------------------------------------
+
+def shard_pack(spark, sf_dir):
+    """Assign docs (in doc_id order) to training shards of ~SHARD_TOKENS
+    tokens: shard_id = exclusive-prefix-sum(tokens) div budget — the
+    streaming greedy pack every shard writer uses.
+
+    The prefix sum is TWO-PHASE, not a single-partition window over the
+    corpus: per-range within-partials (window inside doc_id div RANGE),
+    per-range totals prefix-summed on a ranges-sized table (tiny window),
+    broadcast-joined back. At 10^12 docs the big table never sees a
+    global sort — only its range key."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        _token_count(F.col("text")).alias("tokens"))
+    rng = F.expr(f"div(doc_id, {_RANGE})")
+    within_w = (Window.partitionBy("rng").orderBy("doc_id")
+                .rowsBetween(Window.unboundedPreceding, -1))
+    within = (docs.withColumn("rng", rng)
+              .withColumn("pre_in_range",
+                          F.coalesce(F.sum("tokens").over(within_w),
+                                     F.lit(0))))
+    totals = within.groupBy("rng").agg(F.sum("tokens").alias("range_total"))
+    offsets_w = (Window.orderBy("rng")
+                 .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = totals.withColumn(
+        "range_offset", F.coalesce(F.sum("range_total").over(offsets_w),
+                                   F.lit(0))).select("rng", "range_offset")
+    return (within.join(F.broadcast(offsets), "rng")
+            .withColumn("pre", F.col("range_offset") + F.col("pre_in_range"))
+            .select("doc_id", "tokens",
+                    F.expr(f"div(pre, {_SHARD_TOKENS})").cast("bigint")
+                    .alias("shard_id")))
+
+
+SHARD_PACK_SQL = f"""
+SELECT doc_id::BIGINT AS doc_id,
+       {_TOKENS_SQL} AS tokens,
+       (coalesce(sum({_TOKENS_SQL}) OVER (
+          ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+          AND 1 PRECEDING), 0) // {_SHARD_TOKENS})::BIGINT AS shard_id
+FROM documents
+"""
+
+
+QUERIES: dict = {}
+
+DIAGNOSTICS = {
+    "events_kmv_users": (events_kmv_users, EVENTS_KMV_USERS_SQL),
+    "sample_uniform": (sample_uniform, SAMPLE_UNIFORM_SQL),
+    "sample_stratified": (sample_stratified, SAMPLE_STRATIFIED_SQL),
+    "shard_pack": (shard_pack, SHARD_PACK_SQL),
+}
