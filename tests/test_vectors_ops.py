@@ -50,3 +50,36 @@ def test_multiprobe_buckets_shape():
     assert len(probes) == 9 and len(set(probes)) == 9
     assert probes[0] == 0b10110001
     assert all(bin(p ^ 0b10110001).count("1") <= 1 for p in probes)
+
+
+def test_recall_high_on_clustered_embeddings(spark, tmp_path):
+    """The low absolute recalls above are a property of the near-uniform
+    testdata, not the index: on CLUSTERED embeddings — the structure real
+    embedding corpora have, and the case ANN exists for — the same pruned
+    paths recover most of the exact top-10. 12 unit centroids + gaussian
+    noise (sigma 0.03, within-cluster cosine ~0.97, i.e. near-dup-tier
+    similarity); probes span 8 distinct clusters; measured means at this
+    seed: multitable 9.88, multiprobe 8.0, IVF 7.75 of 10."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(7)
+    n_clusters, per, dim = 12, 125, 64
+    cents = rng.normal(size=(n_clusters, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    # vec_id i belongs to cluster i % n_clusters, so probe ids 0..7 all
+    # sit in different clusters
+    vecs = np.vstack([cents[i % n_clusters]
+                      + rng.normal(scale=0.03, size=dim)
+                      for i in range(n_clusters * per)])
+    pq.write_table(
+        pa.table({"vec_id": np.arange(n_clusters * per),
+                  "embedding": list(vecs.astype(float))}),
+        str(tmp_path / "embeddings.parquet"))
+
+    df = vec_recall_at_k(spark, str(tmp_path)).toPandas()
+    assert len(df) == 8
+    assert df["recall_multitable_at_10"].mean() >= 9.0
+    assert df["recall_multiprobe_at_10"].mean() >= 7.0
+    assert df["recall_ivf_at_10"].mean() >= 6.5
