@@ -207,6 +207,85 @@ FROM documents
 """
 
 
+# --- benchmark decontamination -----------------------------------------------
+
+_DECON_K = 8                # word-n-gram size (long enough to be specific)
+_EVAL_DOCS = 10             # doc_id < N plays the held-out eval set
+
+
+def _kgrams(toks, k):
+    """Word-k-gram set from a materialized token array (same
+    closure-hygiene rule as dedup._shingles: never inline the regexp)."""
+    return F.array_distinct(F.transform(
+        F.sequence(F.lit(1),
+                   F.greatest(F.size(toks) - F.lit(k - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, k), " ")))
+
+
+_KGRAMS_SQL = """
+  list_distinct(list_transform(
+    range(1, greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')) - {km1}, 1) + 1),
+    i -> array_to_string(list_slice(
+           regexp_extract_all(lower(text), '[a-z0-9]+'), i, i + {km1}), ' ')))
+""".format(km1=_DECON_K - 1)
+
+
+def corpus_decontaminate(spark, sf_dir):
+    """Eval-set contamination flags: a training doc is contaminated if it
+    shares any word-8-gram with the held-out eval docs (the n-gram
+    decontamination step run before any LLM training job; 8-grams are
+    specific enough that one hit means real textual overlap, not chance).
+
+    Scale design: the eval side is a benchmark — thousands of docs
+    against a 10^12-doc corpus — so its distinct k-gram set broadcasts;
+    the training side is one map-only shingle pass + a broadcast semi
+    join + one groupBy(doc_id) shuffle. No corpus-vs-corpus join ever
+    happens."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        _tokens_arr(F.col("text")).alias("toks"))
+    grams = docs.select(
+        "doc_id", F.explode(_kgrams(F.col("toks"), _DECON_K)).alias("g"))
+    eval_grams = (grams.filter(F.col("doc_id") < _EVAL_DOCS)
+                  .select("g").distinct())
+    hits = (grams.filter(F.col("doc_id") >= _EVAL_DOCS)
+            .join(F.broadcast(eval_grams), "g")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("bigint").alias("n_hits")))
+    train = docs.filter(F.col("doc_id") >= _EVAL_DOCS).select("doc_id")
+    return (train.join(hits, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint")
+                    .alias("n_hits"),
+                    F.when(F.coalesce(F.col("n_hits"), F.lit(0)) > 0, 1)
+                    .otherwise(0).cast("bigint").alias("contaminated")))
+
+
+def _tokens_arr(col):
+    return F.regexp_extract_all(F.lower(col), F.lit("[a-z0-9]+"), F.lit(0))
+
+
+CORPUS_DECONTAMINATE_SQL = f"""
+WITH grams AS (
+  SELECT doc_id::BIGINT AS doc_id, unnest({_KGRAMS_SQL}) AS g
+  FROM documents
+), eval_grams AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id < {_EVAL_DOCS}
+), hits AS (
+  SELECT doc_id, count(*)::BIGINT AS n_hits
+  FROM grams JOIN eval_grams USING (g)
+  WHERE doc_id >= {_EVAL_DOCS}
+  GROUP BY doc_id
+)
+SELECT d.doc_id::BIGINT AS doc_id,
+       coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       (CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 1 ELSE 0 END)::BIGINT
+         AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id >= {_EVAL_DOCS}
+"""
+
+
 QUERIES: dict = {}
 
 DIAGNOSTICS = {
@@ -214,4 +293,5 @@ DIAGNOSTICS = {
     "sample_uniform": (sample_uniform, SAMPLE_UNIFORM_SQL),
     "sample_stratified": (sample_stratified, SAMPLE_STRATIFIED_SQL),
     "shard_pack": (shard_pack, SHARD_PACK_SQL),
+    "corpus_decontaminate": (corpus_decontaminate, CORPUS_DECONTAMINATE_SQL),
 }
