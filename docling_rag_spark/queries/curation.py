@@ -286,10 +286,15 @@ WHERE d.doc_id >= {_EVAL_DOCS}
 """
 
 
-QUERIES: dict = {}
+# events_kmv_users sits in the driver window: it replaced the HLL
+# rows-only entry (relational.DIAGNOSTICS) so every driver-recorded
+# query is oracle-backed — the KMV construction is deterministic md5
+# math DuckDB reproduces exactly.
+QUERIES: dict = {
+    "events_kmv_users": (events_kmv_users, EVENTS_KMV_USERS_SQL),
+}
 
 DIAGNOSTICS = {
-    "events_kmv_users": (events_kmv_users, EVENTS_KMV_USERS_SQL),
     "sample_uniform": (sample_uniform, SAMPLE_UNIFORM_SQL),
     "sample_stratified": (sample_stratified, SAMPLE_STRATIFIED_SQL),
     "shard_pack": (shard_pack, SHARD_PACK_SQL),

@@ -682,6 +682,13 @@ QUERIES = {
     "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
     "events_asof_prev_click": (events_asof_prev_click, ASOF_SQL),
     "events_quantiles": (events_quantiles, QUANTILES_SQL),
-    "events_approx_users": (events_approx_users, None),
     "events_range_join": (events_range_join, RANGE_JOIN_SQL),
+}
+
+# HLL's sketch is engine-specific, so this op can never hash-match a
+# DuckDB twin; it lives outside the driver window, whose approx-distinct
+# slot is instead held by the deterministic (oracle-checkable) KMV sketch
+# `events_kmv_users` in queries/curation.py.
+DIAGNOSTICS = {
+    "events_approx_users": (events_approx_users, None),
 }

@@ -14,14 +14,11 @@ def test_contract_shapes():
     assert all(callable(f) for f in qs.values())
     assert all(isinstance(s, str) and "SELECT" in s.upper()
                for s in oracles.values())
-    # the documented split: non-SQL-expressible ops are rows-only, and the
-    # registry keeps them LAST so they can never push an oracle-backed
-    # query out of the driver's bounded CORRECTNESS window
+    # every driver-visible query is oracle-backed: the HLL rows-only op
+    # moved to diagnostics once the deterministic KMV sketch gave the
+    # approx-distinct slot a hash-checkable twin
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {"events_approx_users"}
-    names = list(qs)
-    first_rows_only = min(names.index(n) for n in rows_only)
-    assert all(names.index(n) < first_rows_only for n in oracles)
+    assert rows_only == set()
     # driver window: at most 50 entries are recorded
     assert len(qs) <= 50, f"registry has {len(qs)} entries; driver caps at 50"
 
