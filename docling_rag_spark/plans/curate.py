@@ -26,10 +26,51 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from docling_rag_spark.io import warehouse as wh
-from docling_rag_spark.queries.dedup import content_hash_col
+from docling_rag_spark.queries.dedup import (
+    _cc_labels,
+    content_hash_col,
+    minhash_pairs_for,
+)
 from docling_rag_spark.queries import textstats as ts
 
 _DEFAULT_SHARD_TOKENS = 200_000
+
+
+def _with_dense_ids(df):
+    """Deterministic dense bigint ``doc_id`` per row via the two-phase
+    prefix pattern (per-bucket row_number + broadcast bucket offsets) —
+    the scale-safe zipWithIndex: no global-sort window, stable across
+    reruns because (bucket, url) is a total order."""
+    w = Window.partitionBy("bucket").orderBy("url")
+    numbered = df.withColumn("rn", F.row_number().over(w))
+    counts = numbered.groupBy("bucket").agg(F.count("*").alias("n"))
+    off_w = (Window.orderBy("bucket")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = (counts.withColumn(
+        "id_offset", F.coalesce(F.sum("n").over(off_w), F.lit(0)))
+        .select("bucket", "id_offset"))
+    return (numbered.join(F.broadcast(offsets), "bucket")
+            .withColumn("doc_id",
+                        (F.col("id_offset") + F.col("rn") - 1)
+                        .cast("bigint"))
+            .drop("rn", "id_offset"))
+
+
+def _near_dup_survivors(deduped):
+    """MassiveText-style near-dup removal: MinHash-LSH candidate pairs
+    over the kept docs -> connected components -> keep each cluster's
+    canonical (minimum dense-id == lowest (bucket, url)) member. Same
+    banded-join machinery the oracle-checked ``dedup_minhash_pairs`` /
+    ``dedup_components`` queries pin, applied to warehouse rows."""
+    ids = _with_dense_ids(deduped)
+    pairs = minhash_pairs_for(ids.select("doc_id", "text")) \
+        .select("doc_a", "doc_b")
+    labels = _cc_labels(pairs)
+    return (ids.join(labels.withColumnRenamed("node", "doc_id"),
+                     "doc_id", "left")
+            .filter(F.coalesce(F.col("label"), F.col("doc_id"))
+                    == F.col("doc_id"))
+            .drop("label", "doc_id"))
 
 
 def run_curation(spark, out_dir: str, dest_dir: str,
@@ -37,7 +78,8 @@ def run_curation(spark, out_dir: str, dest_dir: str,
                  include_degraded: bool = True,
                  min_words: int = ts._FILTER_MIN_WORDS,
                  max_top_bp: int = ts._FILTER_MAX_TOP_BP,
-                 require_stopwords: bool = True) -> dict:
+                 require_stopwords: bool = True,
+                 near_dup: bool = True) -> dict:
     """extracted -> filtered, scrubbed, deduped, shard-packed corpus.
 
     Gate thresholds are parameters because they are corpus decisions (the
@@ -91,6 +133,14 @@ def run_curation(spark, out_dir: str, dest_dir: str,
                .drop("rn", "stop_hits", "top_token_bp", "reason"))
     n_unique = deduped.count()
 
+    # near-dup cluster removal (MinHash-LSH pairs -> connected
+    # components -> keep canonical) on top of exact dedup
+    if near_dup:
+        deduped = _near_dup_survivors(deduped)
+        n_survivors = deduped.count()
+    else:
+        n_survivors = n_unique
+
     # two-phase prefix sum -> shard_id (per-bucket partials, tiny offsets
     # window, broadcast join; within-bucket order is url — total order
     # because (bucket, url) is unique)
@@ -129,6 +179,7 @@ def run_curation(spark, out_dir: str, dest_dir: str,
                               if k != "ok"},
         "n_passed_gates": drop_counts.get("ok", 0),
         "n_exact_dups_removed": drop_counts.get("ok", 0) - n_unique,
+        "n_near_dups_removed": n_unique - n_survivors,
         "n_corpus_docs": stats["docs"],
         "total_tokens": int(stats["tokens"] or 0),
         "n_shards": stats["shards"],

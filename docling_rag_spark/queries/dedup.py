@@ -243,12 +243,14 @@ _PERM_A = [(1103515245 * (i + 1) + 12345) % _P for i in range(_NUM_PERMS)]
 _PERM_B = [(69069 * (i + 1) + 1) % _P for i in range(_NUM_PERMS)]
 
 
-def _minhash_sig(spark, sf_dir):
+def minhash_sig_for(docs):
     """One wide agg (16 min() columns, map-side combined) instead of a 16×
     row blowup: the shuffle carries 16 partial mins per doc, not 16 copies
     of every shingle. ``stack`` unpivots the tiny per-doc result to the
-    long (doc_id, perm_id, minhash) contract."""
-    docs = _t(spark, sf_dir, "documents")
+    long (doc_id, perm_id, minhash) contract. ``docs`` is any
+    (doc_id bigint, text) DataFrame — the warehouse curation job feeds
+    dense-id'd extracted rows through the same machinery the oracle
+    checks."""
     sh = _exploded_shingles(docs).withColumn("h", _hex60(F.col("sh")) % _P)
     aggs = [F.min((F.lit(_PERM_A[i]) * F.col("h") + F.lit(_PERM_B[i])) % _P)
             .cast("bigint").alias(f"m{i}") for i in range(_NUM_PERMS)]
@@ -258,6 +260,10 @@ def _minhash_sig(spark, sf_dir):
         "doc_id", f"stack({_NUM_PERMS}, {stack}) AS (perm_id, minhash)")
         .select("doc_id", F.col("perm_id").cast("int").alias("perm_id"),
                 F.col("minhash").cast("bigint").alias("minhash")))
+
+
+def _minhash_sig(spark, sf_dir):
+    return minhash_sig_for(_t(spark, sf_dir, "documents"))
 
 
 def dedup_minhash_sig(spark, sf_dir):
@@ -283,8 +289,9 @@ GROUP BY doc_id, perm_id
 """
 
 
-def dedup_minhash_pairs(spark, sf_dir):
-    sig = _minhash_sig(spark, sf_dir)
+def minhash_pairs_for(docs):
+    """LSH candidate pairs for any (doc_id bigint, text) DataFrame."""
+    sig = minhash_sig_for(docs)
     bands = (sig.withColumn("band", (F.col("perm_id") / _BAND_SIZE)
                             .cast("int"))
              .groupBy("doc_id", "band")
@@ -301,6 +308,10 @@ def dedup_minhash_pairs(spark, sf_dir):
             .groupBy(F.col("a.doc_id").alias("doc_a"),
                      F.col("b.doc_id").alias("doc_b"))
             .agg(F.count("*").cast("bigint").alias("n_shared_bands")))
+
+
+def dedup_minhash_pairs(spark, sf_dir):
+    return minhash_pairs_for(_t(spark, sf_dir, "documents"))
 
 
 MINHASH_PAIRS_SQL = f"""

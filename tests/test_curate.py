@@ -45,8 +45,10 @@ def test_curation_end_to_end(spark, tmp_path):
     assert report["n_passed_gates"] + sum(
         report["dropped_by_reason"].values()) == report["n_input"]
     assert report["n_corpus_docs"] == (report["n_passed_gates"]
-                                       - report["n_exact_dups_removed"])
+                                       - report["n_exact_dups_removed"]
+                                       - report["n_near_dups_removed"])
     assert report["n_exact_dups_removed"] >= 0
+    assert report["n_near_dups_removed"] >= 0
     assert report["n_shards"] >= 2, "budget too big to exercise packing"
 
     con = duckdb.connect()
@@ -89,3 +91,28 @@ def test_curation_deterministic_rerun(spark, tmp_path):
                       require_stopwords=False)
     assert r1 == r2
     assert _corpus_hash(d1) == _corpus_hash(d2)
+
+
+def test_near_dup_stage_drops_cluster_non_canonical(spark):
+    """Two near-identical texts under different urls collapse to the
+    lower (bucket, url) survivor; distinct texts all survive."""
+    from docling_rag_spark.plans.curate import _near_dup_survivors
+
+    base = ("the quick brown fox jumps over the lazy dog while seventeen "
+            "pelicans discuss quarterly shuffle statistics near the old "
+            "harbor wall and every partition of the evening sky turns a "
+            "slightly different shade of orange before the scheduler "
+            "finally drains its queue of clouds for the night shift crew")
+    near = base.replace("orange", "crimson")
+    rows = [
+        ("https://a.example/1", 0, base),
+        ("https://b.example/2", 1, near),
+        ("https://c.example/3", 2, "completely different content about "
+         "bucketed parquet layouts and snapshot retention policies for "
+         "iceberg style warehouses with many more unrelated words in it "
+         "than any shingle could possibly share with the fox sentence "
+         "above because every token here is from another domain entirely"),
+    ]
+    df = spark.createDataFrame(rows, "url string, bucket int, text string")
+    kept = {r["url"] for r in _near_dup_survivors(df).collect()}
+    assert kept == {"https://a.example/1", "https://c.example/3"}
