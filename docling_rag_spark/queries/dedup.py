@@ -571,8 +571,14 @@ def _cc_labels(pairs):
     edges = edges.union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint()
-    labels = (edges.select(F.col("u").alias("node")).distinct()
-              .withColumn("label", F.col("node")).localCheckpoint())
+    # seed with min(self, direct neighbors): one groupBy (replacing the
+    # plain distinct() init at the same shuffle count) and clusters of
+    # diameter <= 2 — the common near-dup shape — converge a full
+    # propagation pass earlier
+    labels = (edges.groupBy("u").agg(F.min("v").alias("nb_min"))
+              .select(F.col("u").alias("node"),
+                      F.least(F.col("u"), F.col("nb_min")).alias("label"))
+              .localCheckpoint())
     # labels are monotonically non-increasing, so the label sum is a
     # fixpoint witness: unchanged sum == no label moved (cheaper than a
     # join-and-count convergence probe — one agg scalar per pass)
