@@ -12,9 +12,9 @@ division anywhere near a comparison boundary.
 
 Scale design (10^12 rows):
 - KMV sketch: the k-minimum-values estimator merges by union+truncate, so
-  the plan does a salted map-side partial (k smallest per (key, salt))
-  before the per-key merge — the per-group state is k hashes, never the
-  distinct set. Estimate = (k-1) * 2^48 div kth_hash, integer math.
+  the plan takes k smallest per (key, salt) through a sort-based window
+  (spillable) before the per-key merge — no stage holds a distinct set
+  in memory. Estimate = (k-1) * 2^48 div kth_hash, integer math.
 - uniform sample: map-only hash predicate, no shuffle, any rate.
 - stratified sample: per-stratum smallest-k hashes via one window; ties
   broken on doc_id so the selection is total-ordered and replayable.
@@ -62,21 +62,27 @@ def _token_count(col):
 def events_kmv_users(spark, sf_dir):
     """Distinct users per event type via a k-minimum-values sketch.
 
-    Two-phase: k smallest distinct hashes per (type, salt) map-side, then
-    union+sort+truncate per type — the mergeable-sketch shape, state k
-    values per group at every stage. ``n_seen < k`` means the sketch saw
-    the whole distinct set and the estimate is exact."""
+    Two-phase: k smallest distinct hashes per (type, salt) via a
+    sort-based window (spillable rank state — nothing ever holds a
+    distinct set in memory), then union+sort+truncate per type over at
+    most 16*k survivors — the mergeable-sketch shape. ``n_seen < k``
+    means the sketch saw the whole distinct set and the estimate is
+    exact."""
     ev = _t(spark, sf_dir, "events")
-    h = ev.select("event_type",
-                  _h48(F.col("user_id").cast("string")).alias("h"))
+    h = (ev.select("event_type",
+                   _h48(F.col("user_id").cast("string")).alias("h"))
+         .distinct())
+    # per-(type, salt) k smallest via a sort-based window: rank state is
+    # spillable, so no stage ever materializes a distinct set in memory
+    # (a collect_set partial would); the final per-type collect then sees
+    # at most 16*k values
+    w = Window.partitionBy("event_type", "salt").orderBy("h")
     partial = (h.withColumn("salt", (F.col("h") % 16).cast("int"))
-               .groupBy("event_type", "salt")
-               .agg(F.slice(F.array_sort(F.collect_set("h")),
-                            1, _KMV_K).alias("part")))
+               .withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") <= _KMV_K))
     merged = (partial.groupBy("event_type")
-              .agg(F.slice(F.array_sort(F.array_distinct(
-                  F.flatten(F.collect_list("part")))), 1, _KMV_K)
-                  .alias("topk")))
+              .agg(F.slice(F.array_sort(F.collect_set("h")),
+                           1, _KMV_K).alias("topk")))
     n_seen = F.size("topk").cast("bigint")
     kth = F.element_at("topk", _KMV_K)
     est = F.when(n_seen < _KMV_K, n_seen).otherwise(
