@@ -46,6 +46,8 @@ _ALIASES = {
 }
 
 _LOWER_CYR = set("абвгдежзийклмнопрстуфхцчшщъыьэюяё")
+# control bytes that mark a payload as binary: <9 or 14..31
+_CTRL_BYTES = bytes(range(0, 9)) + bytes(range(14, 32))
 
 
 def declared_charset(head: bytes) -> str | None:
@@ -145,5 +147,7 @@ def looks_binary(head: bytes) -> bool:
         return False
     if b"\x00" in head:
         return True
-    ctrl = sum(1 for b in head if b < 9 or (13 < b < 32))
+    # C-speed control-byte count: translate(None, delete=ctrl) drops exactly
+    # the bytes the old per-byte loop counted (<9 or 14..31)
+    ctrl = len(head) - len(head.translate(None, _CTRL_BYTES))
     return ctrl > len(head) // 20

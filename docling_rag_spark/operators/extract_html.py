@@ -1,12 +1,21 @@
 """HTML main-content extraction -> Block list (the north-rule core, X1).
 
-From-scratch DOM walk over stdlib ``html.parser`` with
-Boilerpipe/Readability-family heuristics: structural boilerplate containers
-(nav/header/footer/aside + class/id hints) are pruned, and every candidate
-text run is scored by **link density** (chars inside <a> / total chars) and
-length — high-link-density or tiny fragments are boilerplate and dropped.
-Replaces the reference's delegation to Docling's HTML backend
-(core/parser.py:56-66) with a pure, deterministic function of the markup.
+From-scratch DOM walk with Boilerpipe/Readability-family heuristics:
+structural boilerplate containers (nav/header/footer/aside + class/id hints)
+are pruned, and every candidate text run is scored by **link density**
+(chars inside <a> / total chars) and length — high-link-density or tiny
+fragments are boilerplate and dropped. Replaces the reference's delegation
+to Docling's HTML backend (core/parser.py:56-66) with a pure, deterministic
+function of the markup.
+
+Tokenizer: a regex-driven scanner (``_fast_feed``) drives the tree builder
+directly — stdlib ``html.parser`` spends ~2/3 of total parse CPU in its
+per-tag regex machinery, and the scanner replicates the only behaviors the
+tree consumes (lowercased start/end tags, startend tags, charref-unescaped
+data, raw-text <script>/<style> content, class/id attribute values) at ~3×
+the throughput. The stdlib-backed path is retained (``engine="stdlib"``)
+and a differential test pins block-for-block equivalence across the full
+synthetic corpus, the fixture set, and an adversarial-markup matrix.
 
 Block mapping: h1..h6 -> heading blocks; <pre> -> code (verbatim);
 <table> -> table (cells joined ' | ', rows joined newline, never split);
@@ -17,6 +26,7 @@ text blocks with whitespace collapsed.
 from __future__ import annotations
 
 import re
+from html import unescape
 from html.parser import HTMLParser
 
 from docling_rag_spark.config import (
@@ -90,13 +100,18 @@ class _TreeBuilder(HTMLParser):
         self._stack = [self.root]
 
     def handle_starttag(self, tag, attrs):
-        while (len(self._stack) > 1
-               and tag in _IMPLIED_END.get(self._stack[-1].tag, ())):
-            self._stack.pop()
-        node = _Node(tag, {k: (v or "") for k, v in attrs})
-        self._stack[-1].children.append(node)
-        if tag not in _VOID_TAGS and len(self._stack) < MAX_TREE_DEPTH:
-            self._stack.append(node)
+        self.start_node(tag, {k: (v or "") for k, v in attrs})
+
+    def start_node(self, tag, attrs: dict[str, str]):
+        """Fast-path entry: attrs already a dict (html.parser events funnel
+        here through handle_starttag)."""
+        stack = self._stack
+        while len(stack) > 1 and tag in _IMPLIED_END.get(stack[-1].tag, ()):
+            stack.pop()
+        node = _Node(tag, attrs)
+        stack[-1].children.append(node)
+        if tag not in _VOID_TAGS and len(stack) < MAX_TREE_DEPTH:
+            stack.append(node)
 
     def handle_startendtag(self, tag, attrs):
         self._stack[-1].children.append(_Node(tag, {k: (v or "") for k, v in attrs}))
@@ -146,7 +161,13 @@ def _inline_text(node: _Node, in_link: bool = False) -> tuple[str, int]:
 
 
 def _clean(text: str) -> str:
-    return _CTRL_RE.sub("", _WS_RE.sub(" ", text)).strip()
+    s = _WS_RE.sub(" ", text)
+    # isprintable() is a C-speed screen: every char _CTRL_RE strips is
+    # non-printable (and space IS printable), so printable strings — the
+    # overwhelming majority — skip the second regex entirely
+    if not s.isprintable():
+        s = _CTRL_RE.sub("", s)
+    return s.strip()
 
 
 def _keep_text(text: str, link_chars: int) -> bool:
@@ -282,10 +303,130 @@ class _Walker:
         self.blocks.append(Block("text", "\n".join(items)))
 
 
-def extract_html(html: str) -> list[Block]:
+# ---------------------------------------------------------------------------
+# Fast tokenizer: drives _TreeBuilder.handle_* directly (those methods touch
+# only self.root/_stack, never HTMLParser state), so the tree semantics —
+# implied end tags, depth guard, stray-end tolerance — are shared verbatim
+# between both engines.
+
+# start tag: lowercase-insensitive name, quote-aware attribute blob, optional
+# self-closing slash. Mirrors html.parser's tagfind_tolerant name charset.
+_STARTTAG_RE = re.compile(
+    r'<([a-zA-Z][^\t\n\r\f />\x00]*)'
+    r'((?:\s+[^\s/>][^\s/=>]*(?:\s*=\s*(?:"[^"]*"|\'[^\']*\'|[^>\s]*))?)*)'
+    r'\s*(/?)>'
+)
+_ENDTAG_RE = re.compile(r'</\s*([a-zA-Z][^\t\n\r\f />\x00]*)[^>]*>')
+_ATTR_RE = re.compile(
+    r'([^\s/>][^\s/=>]*)(?:\s*=\s*("([^"]*)"|\'([^\']*)\'|([^>\s]*)))?')
+# raw-text elements (html.parser CDATA_CONTENT_ELEMENTS): content is opaque
+# until a real close tag — name must terminate at whitespace, '/' or '>'
+_RAWTEXT_END = {
+    t: re.compile(r'</\s*%s(?=[\s/>])[^>]*>|</\s*%s>' % (t, t), re.I)
+    for t in ("script", "style")
+}
+
+
+def _parse_attrs(blob: str) -> dict[str, str]:
+    if not blob:
+        return {}
+    attrs: dict[str, str] = {}
+    for m in _ATTR_RE.finditer(blob):
+        name = m.group(1).lower()
+        val = m.group(3)
+        if val is None:
+            val = m.group(4)
+        if val is None:
+            val = m.group(5) or ""
+        attrs[name] = unescape(val) if "&" in val else val
+    return attrs
+
+
+def _fast_feed(html: str, builder: _TreeBuilder) -> None:
+    """Tokenize ``html`` into the same handler calls html.parser would make
+    for the constructs the tree consumes. Single forward pass, no buffering:
+    an unterminated construct at EOF is dropped (what close() does to an
+    incomplete tag) except unterminated raw text, which stays data."""
+    pos, n = 0, len(html)
+    find = html.find
+    data = builder.handle_data
+    while pos < n:
+        lt = find("<", pos)
+        if lt < 0:
+            seg = html[pos:]
+            data(unescape(seg) if "&" in seg else seg)
+            break
+        if lt > pos:
+            seg = html[pos:lt]
+            data(unescape(seg) if "&" in seg else seg)
+        nxt = html[lt + 1:lt + 2]
+        if nxt == "!":
+            if html.startswith("<!--", lt):
+                # HTML5 abruptly-closed comments: <!--> and <!---> are
+                # complete empty comments (html.parser instead leaks the
+                # whole tail as data — pinned divergence, spec wins)
+                if html.startswith(">", lt + 4):
+                    pos = lt + 5
+                elif html.startswith("->", lt + 4):
+                    pos = lt + 6
+                else:
+                    end = find("-->", lt + 4)
+                    pos = n if end < 0 else end + 3
+            else:  # <!DOCTYPE ...>, bogus <!...>
+                end = find(">", lt + 2)
+                pos = n if end < 0 else end + 1
+        elif nxt == "?":
+            end = find(">", lt + 2)
+            pos = n if end < 0 else end + 1
+        elif nxt == "/":
+            m = _ENDTAG_RE.match(html, lt)
+            if m:
+                builder.handle_endtag(m.group(1).lower())
+                pos = m.end()
+            else:  # </>, </123>, or unterminated: skip to '>' silently
+                end = find(">", lt + 2)
+                pos = n if end < 0 else end + 1
+        elif nxt and nxt.isalpha():
+            m = _STARTTAG_RE.match(html, lt)
+            if m is None:
+                # no well-formed start tag here (unterminated at EOF, or
+                # pathological attrs): emit '<' as data like html.parser's
+                # tolerant fallback and rescan from the next char
+                data("<")
+                pos = lt + 1
+                continue
+            tag, blob, selfclose = m.group(1, 2, 3)
+            tag = tag.lower()
+            attrs = _parse_attrs(blob) if blob else {}
+            pos = m.end()
+            if selfclose:
+                builder.handle_startendtag(tag, attrs.items())
+                continue
+            builder.start_node(tag, attrs)
+            rawtext = _RAWTEXT_END.get(tag)
+            if rawtext is not None:
+                m2 = rawtext.search(html, pos)
+                if m2 is None:
+                    data(html[pos:])  # raw: never unescaped
+                    pos = n
+                else:
+                    data(html[pos:m2.start()])
+                    builder.handle_endtag(tag)
+                    pos = m2.end()
+        else:
+            # '<' followed by non-name char: literal data (html.parser
+            # emits the lone '<' and continues after it)
+            data("<")
+            pos = lt + 1
+
+
+def extract_html(html: str, engine: str = "fast") -> list[Block]:
     builder = _TreeBuilder()
-    builder.feed(html)
-    builder.close()
+    if engine == "fast":
+        _fast_feed(html, builder)
+    else:
+        builder.feed(html)
+        builder.close()
     root = builder.root
     # descend into <html><body> if present
     walker = _Walker()
