@@ -59,6 +59,9 @@ BENCH_QUERIES = [
     "vec_ivf_topk",
     "vec_lsh_multitable",
     "vec_recall_at_k",
+    "events_asof_join",
+    "url_canonical_cap",
+    "corpus_span_dedup",
     "extract_chunks",
 ]
 

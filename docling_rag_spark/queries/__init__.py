@@ -22,10 +22,11 @@ Portability rules (Spark ⇄ DuckDB hash-match):
 from __future__ import annotations
 
 from docling_rag_spark.queries import (
-    curation, dedup, extraction, relational, textstats, vectors,
+    curation, dedup, extraction, relational, textstats, vectors, webops,
 )
 
-ALL_MODULES = (relational, textstats, dedup, vectors, extraction, curation)
+ALL_MODULES = (relational, textstats, dedup, vectors, extraction, curation,
+               webops)
 
 
 def _registry():

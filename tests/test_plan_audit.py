@@ -82,7 +82,16 @@ def test_exchange_count_bounded(spark):
                              ("dedup_exact", 1),
                              ("text_fingerprint", 0),
                              ("text_token_count", 0),
-                             ("text_pii_scrub", 0)):
+                             ("text_pii_scrub", 0),
+                             # as-of join: union-marker window — the click
+                             # agg and the per-user window, never a range
+                             # join explosion
+                             ("events_asof_join", 2),
+                             # canonicalize is pure expressions; the only
+                             # shuffle is the per-host cap window
+                             ("url_canonical_cap", 1),
+                             # span window + doc regroup, no all-pairs
+                             ("corpus_span_dedup", 2)):
         plan = _plan(spark, q)
         n = len(re.findall(r"\bExchange\b", plan.split("== Physical Plan ==")[-1].split("(1) ")[0]))
         assert n <= max_exchanges, f"{q}: {n} exchanges"
