@@ -169,6 +169,10 @@ def chunk_blocks(blocks: list[Block], max_tokens: int = CHUNK_MAX_TOKENS
 
 def _byte_spans(extracted: str, chunks: list[Chunk]) -> None:
     """Convert char spans -> UTF-8 byte spans in one forward pass."""
+    if extracted.isascii():  # 1 byte per char: spans are already byte spans
+        for c in chunks:
+            c.span = c.char_span
+        return
     marks = sorted({0, *(m for c in chunks for m in c.char_span)})
     byte_of: dict[int, int] = {}
     bpos = cpos = 0
