@@ -63,6 +63,42 @@ def bucket_of(url_col, num_buckets: int):
     return F.pmod(F.xxhash64(url_col), F.lit(num_buckets)).cast("int")
 
 
+def _input_bytes(path: str) -> int:
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def _scan_split_bytes(spark, pages_path: str) -> str | None:
+    """Adaptive scan-split size for this job's input.
+
+    Spark packs files into ~``spark.sql.files.maxPartitionBytes`` splits at
+    plan time; with the session default (32 MB) a bench-scale input (e.g.
+    48 MB of 100k pages) scans on TWO map tasks no matter how many cores the
+    cluster has — the scan, its shuffle write, and the staged read-back all
+    inherit the cap, which measured as the scaling-efficiency killer between
+    N and 4N executors (BASELINE.md). Target ~3 splits per core, clamped to
+    [1 MB, 32 MB]: at petabyte scale the clamp returns the session default
+    (splits stay row-group-sized), at bench scale every core gets work.
+    Returns the previous setting (to restore) or None on opaque inputs.
+    """
+    total = _input_bytes(pages_path)
+    if not total:
+        return None
+    cores = spark.sparkContext.defaultParallelism
+    tgt = max(1 << 20, min(32 << 20, total // (3 * cores) or 1))
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(tgt))
+    return prev
+
+
 def _staged_docs_schema():
     """DOC_SCHEMA + the staging columns (bucket is the partition key)."""
     from pyspark.sql import types as T
@@ -124,6 +160,30 @@ def run_extraction(
     # instead of silently scattering urls across a foreign modulus)
     num_buckets = wh.resolve_num_buckets(out_dir, num_buckets,
                                          DEFAULT_NUM_BUCKETS)
+    prev_split = _scan_split_bytes(spark, pages_path)
+    try:
+        return _run_extraction_inner(
+            spark, pages_path, out_dir, snapshot_id, num_buckets,
+            buckets_per_batch, max_tokens, salt_partitions, mode,
+            retain_snapshots, _fail_after_batches)
+    finally:
+        if prev_split is not None:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
+
+
+def _run_extraction_inner(
+    spark: SparkSession,
+    pages_path: str,
+    out_dir: str,
+    snapshot_id: str,
+    num_buckets: int,
+    buckets_per_batch: int | None,
+    max_tokens: int,
+    salt_partitions: int,
+    mode: str,
+    retain_snapshots: bool,
+    _fail_after_batches: int | None,
+) -> ExtractionReport:
     pages = spark.read.parquet(pages_path)
 
     # conflict base: the instant this job read its base state. Using the

@@ -186,7 +186,12 @@ def main() -> int:
         effs: list[float] = []
         for t in range(args.trials):
             per = {}
-            for n_exec in (lo, hi):
+            # alternate lane order per trial: a monotonic box-speed drift
+            # then biases half the ratios up and half down instead of all
+            # one way (lo always first would understate efficiency on a
+            # box that slows over the session, overstate on one speeding up)
+            order = (lo, hi) if t % 2 == 0 else (hi, lo)
+            for n_exec in order:
                 out = os.path.join(tmp, f"wh_e{n_exec}_t{t}")
                 r = submit_job(pages, out, n_exec, args.executor_cores,
                                args.executor_mem, pyzip, tmp)
@@ -196,7 +201,8 @@ def main() -> int:
             effs.append(round((per[hi] / per[lo]) / (hi / lo), 3))
         probe_after = cpu_ceiling(core_levels)
 
-        med = sorted(effs)[len(effs) // 2]
+        import statistics
+        med = round(statistics.median(effs), 3)
         print(json.dumps({
             "metric": "extraction scaling efficiency (standalone cluster)",
             "mode": "spark-standalone: 1 master + "
