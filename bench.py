@@ -62,6 +62,8 @@ BENCH_QUERIES = [
     "events_asof_join",
     "url_canonical_cap",
     "corpus_span_dedup",
+    "text_bm25_topk",
+    "search_hybrid_rrf",
     "extract_chunks",
 ]
 

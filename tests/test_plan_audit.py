@@ -51,9 +51,21 @@ def test_filter_pushdown_q1(spark):
 def test_topk_is_take_ordered_not_global_sort(spark):
     """Top-k queries must plan TakeOrderedAndProject (per-partition heap +
     merge), never a full Exchange+Sort of the data."""
-    for q in ("vec_topk_cosine", "o3_recent_events", "q3_revenue_topk"):
+    for q in ("vec_topk_cosine", "o3_recent_events", "q3_revenue_topk",
+              "text_bm25_topk"):
         plan = _plan(spark, q)
         assert "TakeOrderedAndProject" in plan, q
+
+
+def test_hybrid_rrf_windows_are_pool_bounded(spark):
+    """search_hybrid_rrf's single-partition rank windows must sit above
+    TakeOrderedAndProject limits (<=50-row candidate pools), so the global
+    row_number never sees the corpus; and the corpus itself is never
+    sort-merge joined."""
+    plan = _plan(spark, "search_hybrid_rrf")
+    assert plan.count("TakeOrderedAndProject") >= 3, plan  # 2 pools + final
+    body = plan.split("== Physical Plan ==")[-1].split("(1) ")[0]
+    assert len(re.findall(r"\bWindow\b", body)) == 2, body
 
 
 def test_dim_joins_broadcast(spark):
