@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "corpus_span_dedup",
     "text_bm25_topk",
     "search_hybrid_rrf",
+    "vec_kmeans_assign",
+    "vec_semdedup_drop",
     "extract_chunks",
 ]
 

@@ -22,12 +22,12 @@ Portability rules (Spark ⇄ DuckDB hash-match):
 from __future__ import annotations
 
 from docling_rag_spark.queries import (
-    curation, dedup, extraction, relational, retrieval, textstats, vectors,
-    webops,
+    clustering, curation, dedup, extraction, relational, retrieval,
+    textstats, vectors, webops,
 )
 
 ALL_MODULES = (relational, textstats, dedup, vectors, extraction, curation,
-               webops, retrieval)
+               webops, retrieval, clustering)
 
 
 def _registry():

@@ -103,7 +103,14 @@ def test_exchange_count_bounded(spark):
                              # shuffle is the per-host cap window
                              ("url_canonical_cap", 1),
                              # span window + doc regroup, no all-pairs
-                             ("corpus_span_dedup", 2)):
+                             ("corpus_span_dedup", 2),
+                             # k-means final assignment: literal centroid
+                             # matrix, map-only — the eager update rounds
+                             # inside the builder shuffle separately
+                             ("vec_kmeans_assign", 0),
+                             # within-cluster pairs: one cluster-key join
+                             # + bounded groupBy, never all-pairs
+                             ("vec_semdedup_drop", 3)):
         plan = _plan(spark, q)
         n = len(re.findall(r"\bExchange\b", plan.split("== Physical Plan ==")[-1].split("(1) ")[0]))
         assert n <= max_exchanges, f"{q}: {n} exchanges"
