@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "search_hybrid_rrf",
     "vec_kmeans_assign",
     "vec_semdedup_drop",
+    "text_lm_score",
     "extract_chunks",
 ]
 

@@ -456,6 +456,115 @@ FROM j
 """
 
 
+# --- character-trigram LM quality score (CCNet-shape) -------------------------
+
+# CCNet (Wenzek et al. 2020) buckets crawl docs into head/middle/tail by
+# language-model perplexity. This is that operator with a from-scratch
+# char-trigram LM instead of KenLM (no models in-sandbox): the LM trains on
+# the 90% split (doc_id % 10 != 0), scores EVERY doc (the held-out 10% shows
+# the generalization penalty), p(c3|c1c2) = (c_tri + 1) / (c_bi + V) with
+# add-one smoothing over the trained next-char vocab V.
+#
+# Scale shape: one trigram explode (~len chars/doc), LM = one groupBy whose
+# key space is bounded by charset^3 (NOT corpus size) so the counts tables
+# broadcast; scoring is a map-side broadcast join + one groupBy(doc_id).
+# Portability: per-trigram log-probs floor-scale to e6 BIGINTs, the per-doc
+# sum is exact integer math, and the final mean divides two exact ints as
+# doubles — no float aggregation crosses engines.
+
+_LM_TRAIN_MOD = 10          # doc_id % 10 != 0 trains the LM
+_LM_HEAD_E6 = -700_000      # avg logprob per trigram above this => head
+_LM_MIDDLE_E6 = -850_000    # above this => middle, else tail
+
+
+def _trigrams(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    lt = docs.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                     F.lower(F.col("text")).alias("lt"))
+    pos = F.when(F.length("lt") >= 3,
+                 F.sequence(F.lit(1), F.length("lt") - F.lit(2))
+                 ).otherwise(F.array().cast("array<int>"))
+    tri = lt.select("doc_id", F.col("lt"), pos.alias("pos"))
+    return (tri.select("doc_id",
+                       F.explode(F.transform(
+                           F.col("pos"),
+                           lambda i: F.substring(F.col("lt"), i, 3)))
+                       .alias("tri")))
+
+
+def text_lm_score(spark, sf_dir):
+    tri = _trigrams(spark, sf_dir)
+    train = tri.filter(F.col("doc_id") % _LM_TRAIN_MOD != 0)
+    tri_counts = (train.groupBy("tri")
+                  .agg(F.count("*").cast("bigint").alias("c_tri")))
+    bi_counts = (tri_counts
+                 .groupBy(F.substring("tri", 1, 2).alias("bi"))
+                 .agg(F.sum("c_tri").cast("bigint").alias("c_bi")))
+    vocab = (tri_counts
+             .agg(F.countDistinct(F.substring("tri", 3, 1))
+                  .cast("bigint").alias("v")))
+    lp = F.floor(F.log(
+        (F.coalesce(F.col("c_tri"), F.lit(0)) + F.lit(1)).cast("double")
+        / (F.coalesce(F.col("c_bi"), F.lit(0)) + F.col("v")).cast("double"))
+        * F.lit(1000000.0)).cast("bigint")
+    scored = (tri
+              .join(F.broadcast(tri_counts), "tri", "left")
+              .withColumn("bi", F.substring("tri", 1, 2))
+              .join(F.broadcast(bi_counts), "bi", "left")
+              .crossJoin(F.broadcast(vocab))
+              .select("doc_id", lp.alias("lp_e6")))
+    agg = (scored.groupBy("doc_id")
+           .agg(F.count("*").cast("bigint").alias("n_tri"),
+                F.sum("lp_e6").cast("bigint").alias("sum_lp")))
+    avg = F.floor(F.col("sum_lp").cast("double")
+                  / F.col("n_tri").cast("double")).cast("bigint")
+    return agg.select(
+        "doc_id", "n_tri", avg.alias("avg_lp_e6"),
+        F.when(avg >= _LM_HEAD_E6, F.lit("head"))
+        .when(avg >= _LM_MIDDLE_E6, F.lit("middle"))
+        .otherwise(F.lit("tail")).alias("ppl_bucket"))
+
+
+LM_SCORE_SQL = f"""
+WITH lt AS (
+  SELECT doc_id::BIGINT AS doc_id, lower(text) AS lt FROM documents),
+tri AS (
+  SELECT doc_id, u.tri
+  FROM lt, UNNEST(list_transform(
+       CASE WHEN length(lt) >= 3
+            THEN range(1, (length(lt) - 1)::BIGINT) ELSE [] END,
+       i -> substr(lt, i::INT, 3))) AS u(tri)),
+tri_counts AS (
+  SELECT tri, count(*)::BIGINT AS c_tri
+  FROM tri WHERE doc_id % {_LM_TRAIN_MOD} != 0 GROUP BY tri),
+bi_counts AS (
+  SELECT substr(tri, 1, 2) AS bi, sum(c_tri)::BIGINT AS c_bi
+  FROM tri_counts GROUP BY 1),
+vocab AS (
+  SELECT count(DISTINCT substr(tri, 3, 1))::BIGINT AS v FROM tri_counts),
+scored AS (
+  SELECT t.doc_id,
+         floor(ln((COALESCE(tc.c_tri, 0) + 1)::DOUBLE
+                  / (COALESCE(bc.c_bi, 0) + vv.v)::DOUBLE)
+               * 1000000.0)::BIGINT AS lp_e6
+  FROM tri t
+  LEFT JOIN tri_counts tc ON t.tri = tc.tri
+  LEFT JOIN bi_counts bc ON substr(t.tri, 1, 2) = bc.bi
+  CROSS JOIN vocab vv),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tri, sum(lp_e6)::BIGINT AS sum_lp
+  FROM scored GROUP BY doc_id)
+SELECT doc_id, n_tri,
+       floor(sum_lp::DOUBLE / n_tri::DOUBLE)::BIGINT AS avg_lp_e6,
+       CASE WHEN floor(sum_lp::DOUBLE / n_tri::DOUBLE)::BIGINT
+                 >= {_LM_HEAD_E6} THEN 'head'
+            WHEN floor(sum_lp::DOUBLE / n_tri::DOUBLE)::BIGINT
+                 >= {_LM_MIDDLE_E6} THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM agg
+"""
+
+
 QUERIES = {
     "text_token_count": (text_token_count, TOKEN_COUNT_SQL),
     "text_quality": (text_quality, QUALITY_SQL),
@@ -465,4 +574,8 @@ QUERIES = {
     "text_repetition": (text_repetition, REPETITION_SQL),
     "corpus_boilerplate": (corpus_boilerplate, BOILERPLATE_SQL),
     "corpus_filter": (corpus_filter, CORPUS_FILTER_SQL),
+}
+
+DIAGNOSTICS = {
+    "text_lm_score": (text_lm_score, LM_SCORE_SQL),
 }

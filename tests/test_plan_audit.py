@@ -110,7 +110,11 @@ def test_exchange_count_bounded(spark):
                              ("vec_kmeans_assign", 0),
                              # within-cluster pairs: one cluster-key join
                              # + bounded groupBy, never all-pairs
-                             ("vec_semdedup_drop", 3)):
+                             ("vec_semdedup_drop", 3),
+                             # trigram LM: charset^3-bounded count aggs
+                             # broadcast back; corpus-sized data crosses
+                             # only the explode + final doc_id groupBy
+                             ("text_lm_score", 6)):
         plan = _plan(spark, q)
         n = len(re.findall(r"\bExchange\b", plan.split("== Physical Plan ==")[-1].split("(1) ")[0]))
         assert n <= max_exchanges, f"{q}: {n} exchanges"
