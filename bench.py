@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "vec_kmeans_assign",
     "vec_semdedup_drop",
     "text_lm_score",
+    "text_unicode_clean",
     "extract_chunks",
 ]
 

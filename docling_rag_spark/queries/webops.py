@@ -1,8 +1,8 @@
 """Web-corpus operators Spark lacks as built-ins: as-of join, URL
-canonicalization with per-domain caps, and corpus-level duplicate-span
-removal.
+canonicalization with per-domain caps, corpus-level duplicate-span
+removal, and unicode web-text normalization.
 
-All three are DIAGNOSTICS (the driver CORRECTNESS window is full at 50
+All four are DIAGNOSTICS (the driver CORRECTNESS window is full at 50
 oracle-backed queries) but carry full DuckDB oracles, so
 tests/test_oracle_parity.py hash-checks them exactly like driver rows.
 
@@ -261,10 +261,93 @@ FROM marked GROUP BY doc_id
 """
 
 
+# --- unicode web-text normalization -------------------------------------------
+
+# Crawl text arrives with typographic unicode that fragments token/dedup
+# spaces: curly quotes, en/em dashes, NBSP, zero-width chars, soft hyphens,
+# ellipsis glyphs. This op canonicalizes them with pure JVM-side expressions
+# (translate + regexp_replace - no Python anywhere), so at 100 TB it fuses
+# into the scan projection with zero exchanges. The messy input is
+# synthesized deterministically from doc_id (documents.parquet is clean
+# ASCII), IDENTICALLY in both engines - the oracle checks the cleaner.
+# All special characters are built from explicit \u escapes: NBSP vs ASCII
+# space is invisible in source text, and both engine strings interpolate
+# from the SAME Python constants so they cannot drift.
+
+_ZW_CHARS = "\u200b\u200c\u200d\ufeff\u00ad"  # zero-widths + BOM + soft hyphen
+_ZW_RE = "[" + _ZW_CHARS + "]"
+_TRANS_FROM = "\u201c\u201d\u2018\u2019\u2013\u2014\u00a0"  # curly/dash/NBSP
+_TRANS_TO = '""' + "''" + "-- "
+_ELLIPSIS = "\u2026"
+_MESSY_PRE_A = "\ufeff\u201c"
+_MESSY_SUF_A = "\u201d \u2013 tail\u2026"
+_MESSY_PRE_B = "\u2018"
+_MESSY_SUF_B = "\u2019\u200bmid\u2014dash\u00ad end"
+
+
+def _synth_messy(doc_id, text):
+    """Deterministic unicode-mess injection (mirrored verbatim in SQL)."""
+    return (F.when(doc_id % 3 == 0,
+                   F.concat(F.lit(_MESSY_PRE_A), text, F.lit(_MESSY_SUF_A)))
+            .when(doc_id % 3 == 1,
+                  F.concat(F.lit(_MESSY_PRE_B), text, F.lit(_MESSY_SUF_B)))
+            .otherwise(text))
+
+
+def clean_unicode(col):
+    """Spark column expression: canonical web-text form. Operation order is
+    load-bearing (the SQL twin repeats it verbatim): translate typographic
+    chars -> drop zero-widths -> expand ellipsis -> collapse whitespace."""
+    c = F.translate(col, _TRANS_FROM, _TRANS_TO)
+    c = F.regexp_replace(c, _ZW_RE, "")
+    c = F.regexp_replace(c, _ELLIPSIS, "...")
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def text_unicode_clean(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    raw = _synth_messy(doc_id, F.col("text"))
+    base = docs.select(doc_id.cast("bigint").alias("doc_id"),
+                       raw.alias("raw"))
+    return base.select(
+        "doc_id",
+        F.length("raw").cast("bigint").alias("len_raw"),
+        F.length(clean_unicode(F.col("raw"))).cast("bigint")
+        .alias("len_clean"),
+        F.md5(clean_unicode(F.col("raw"))).alias("clean_md5"))
+
+
+UNICODE_CLEAN_SQL = f"""
+WITH raw AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN '{_MESSY_PRE_A}' || text || '{_MESSY_SUF_A}'
+              WHEN doc_id % 3 = 1
+              THEN '{_MESSY_PRE_B}' || text || '{_MESSY_SUF_B}'
+              ELSE text END AS raw
+  FROM documents),
+cleaned AS (
+  SELECT doc_id, raw,
+         trim(regexp_replace(
+           replace(
+             regexp_replace(
+               translate(raw, '{_TRANS_FROM}', '""' || $$''$$ || '-- '),
+               '{_ZW_RE}', '', 'g'),
+             '{_ELLIPSIS}', '...'),
+           '\\s+', ' ', 'g')) AS clean
+  FROM raw)
+SELECT doc_id, length(raw)::BIGINT AS len_raw,
+       length(clean)::BIGINT AS len_clean, md5(clean) AS clean_md5
+FROM cleaned
+"""
+
+
 QUERIES: dict = {}
 
 DIAGNOSTICS = {
     "events_asof_join": (events_asof_join, EVENTS_ASOF_SQL),
     "url_canonical_cap": (url_canonical_cap, URL_CANONICAL_SQL),
     "corpus_span_dedup": (corpus_span_dedup, SPAN_DEDUP_SQL),
+    "text_unicode_clean": (text_unicode_clean, UNICODE_CLEAN_SQL),
 }

@@ -114,7 +114,9 @@ def test_exchange_count_bounded(spark):
                              # trigram LM: charset^3-bounded count aggs
                              # broadcast back; corpus-sized data crosses
                              # only the explode + final doc_id groupBy
-                             ("text_lm_score", 6)):
+                             ("text_lm_score", 6),
+                             # pure scan-fused projection, no shuffle
+                             ("text_unicode_clean", 0)):
         plan = _plan(spark, q)
         n = len(re.findall(r"\bExchange\b", plan.split("== Physical Plan ==")[-1].split("(1) ")[0]))
         assert n <= max_exchanges, f"{q}: {n} exchanges"
