@@ -5,45 +5,53 @@ document embeddings, then removing near-duplicates *within* each cluster —
 the clustering bounds the quadratic so no all-pairs join ever happens.
 These two operators add that tier:
 
-- ``vec_kmeans_assign`` — Lloyd's k-means (k=4, seeds = the k smallest
-  vec_ids, one update round, final re-assignment). Embeddings are
-  quantized to e4-scaled BIGINTs up front, so centroid sums are EXACT
-  integers (order-independent across engines) and every distance is a
-  deterministic IEEE-double fold over identical expressions — bit-equal
-  in Spark and DuckDB with no float aggregation anywhere. Spark plan per
-  round: broadcast the k centroid vectors as a literal matrix (collected
-  driver-side: k×64 ints), map-only argmin assignment, ONE groupBy
-  shuffle of 64 per-dim F.sum partials for the update — no posexplode
-  row blow-up, no N×k join. At 100 TB each round is one map pass plus
-  one tree-aggregated shuffle; the eager loop is diameter-bounded by the
-  fixed round count, like dedup_components.
+- ``vec_kmeans_assign`` — Lloyd's k-means over e4-quantized embeddings
+  (seeds = the k smallest vec_ids, one update round, final
+  re-assignment), with k scaled to the corpus (n / 250, min 4): fixed k
+  is the SemDeDup scale trap — within-cluster pair counts grow as
+  (n/k)^2 per cluster. Assignment is an Arrow-vectorized ``mapInPandas``
+  stage (numpy ``||x||^2 - 2 x·M^T + ||m||^2`` argmin against the k×64
+  centroid matrix broadcast in the closure — no per-row Python, no N×k
+  join); the centroid update is JVM-side: 64 per-dim ``F.sum`` partials
+  in ONE map-side-combined groupBy of EXACT BIGINT sums. At 10^12 docs
+  each round is one map pass plus one tree-aggregated k-row shuffle.
 
 - ``vec_semdedup_drop`` — within-cluster near-duplicate removal: inside
   each final cluster, a vector is DROPPED when a smaller-id vector in
   the same cluster has quantized-cosine >= the threshold (keep-first
-  canonicalization, mirroring dedup_keep_first). The pairwise join is
-  per-cluster only — the SemDeDup trick: with real-scale k (~100k
-  clusters for 10^12 docs) clusters stay small, so the quadratic is
-  bounded per cluster while the global plan is a single equi-join on
-  cluster id. Cosine runs over the SAME e4-quantized vectors, so both
-  engines fold identical doubles.
+  canonicalization, mirroring dedup_keep_first). One shuffle on cluster
+  id into ``applyInPandas``; the per-group numpy gram matrix bounds the
+  quadratic to cluster size (~250), never the corpus.
 
-Both are DIAGNOSTICS (driver window full at 50) with full DuckDB
-oracles; the SQL twins re-derive the same two Lloyd rounds from scratch
-as unrolled CTEs — the Spark side's collected centroid literals are an
-*execution* strategy, not an input, so the hash match proves the whole
-iterative computation equivalent.
+Cross-engine correctness contract: the DuckDB twins re-derive the same
+two Lloyd rounds as unrolled CTEs with sequential (x - s/n)^2 folds.
+Quantization and centroid sums are exact integers in both engines;
+distances/cosines are float64 in both, computed by DIFFERENT but
+algebraically-equal routes (numpy matmul vs sequential fold), so they
+agree to a few ulps — outputs are therefore floor-coarsened past the
+reassociation error bound: dist at unit granularity (error ~2e-7 of a
+~2e9-scale value => flip probability ~1e-7/row) and cosine at e6
+(dot-error/norms ~5e-16 => ~5e-10/pair). Assignment flips would need a
+sub-1e-6 gap between two centroids' distances out of a ~1e8 typical
+gap. tests/test_oracle_parity.py hash-checks both at sf0.01; the sf0.1
+twin run is checked in-session (deterministic, not flaky: same data +
+libraries every run).
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-_K = 4
+_K_MIN = 4
+_K_DIVISOR = 250   # k scales with corpus: ~250 vectors per cluster
 _SCALE = 10000.0
 _DIM = 64
 _SEMDEDUP_MIN_E6 = 300000  # quantized-cosine keep-first threshold
+
+_ASSIGN_SCHEMA = "vec_id bigint, qv array<bigint>, cluster bigint, dist double"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str):
@@ -60,36 +68,47 @@ def _quantized(spark, sf_dir):
             .cast("bigint")).alias("qv"))
 
 
-def _dist_to(cent_sums, cent_n):
-    """Deterministic sequential fold of squared distance from the row's
-    ``qv`` to one centroid given as (per-dim BIGINT sums, member count).
-    Expression order mirrors the SQL twin exactly: per dim,
-    diff = qv[i]::double - (s[i]::double / n::double); acc + diff*diff."""
-    lit_s = F.array(*[F.lit(int(s)) for s in cent_sums])
-    n = F.lit(int(cent_n)).cast("double")
-    sq = F.zip_with(
-        F.col("qv"), lit_s,
-        lambda x, s: (x.cast("double") - s.cast("double") / n)
-        * (x.cast("double") - s.cast("double") / n))
-    return F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v)
+def _k_for(n: int) -> int:
+    """Corpus-scaled cluster count: ~_K_DIVISOR vectors per cluster.
+    Mirrored by the oracle's greatest(k_min, count(*)//divisor)."""
+    return max(_K_MIN, n // _K_DIVISOR)
 
 
 def _assign(q, cents):
-    """Add (cluster, dist) via argmin over the literal centroid matrix;
-    ties break to the lower cluster id (strict < on already-seen best)."""
-    cluster, best = F.lit(int(cents[0][0])), _dist_to(*cents[0][1:])
-    for cid, s, n in cents[1:]:
-        d = _dist_to(s, n)
-        cluster = F.when(d < best, F.lit(int(cid))).otherwise(cluster)
-        best = F.when(d < best, d).otherwise(best)
-    return q.select("vec_id", "qv",
-                    cluster.cast("bigint").alias("cluster"),
-                    best.alias("dist"))
+    """Vectorized argmin assignment: one Arrow batch at a time, distances
+    to all k centroids via numpy matmul. ``cents`` is sorted by cluster
+    id, so np.argmin's first-minimum tie-break matches the oracle's
+    (dist ASC, cluster ASC) row_number. Distances are clamped at 0: the
+    identity form can go ~-1e-6 where the true distance is exactly 0
+    (a singleton cluster's seed), and the oracle's (x-m)^2 fold is
+    non-negative by construction."""
+    cids = np.array([c for c, _s, _n in cents], dtype=np.int64)
+    M = np.array([[float(sv) / float(n) for sv in s]
+                  for _c, s, n in cents], dtype=np.float64)
+    m2 = (M * M).sum(axis=1)
+
+    def part(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["qv"].tolist(), dtype=np.float64)
+            d = ((X * X).sum(axis=1)[:, None]
+                 - 2.0 * (X @ M.T) + m2[None, :])
+            np.maximum(d, 0.0, out=d)
+            idx = np.argmin(d, axis=1)
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "qv": pdf["qv"],
+                "cluster": cids[idx],
+                "dist": d[np.arange(len(idx)), idx]})
+
+    return q.mapInPandas(part, schema=_ASSIGN_SCHEMA)
 
 
 def _update(assigned):
     """Collect per-cluster (per-dim sums, count) — 64 F.sum partials in
-    ONE groupBy (map-side combined), k rows to the driver."""
+    ONE groupBy (map-side combined), k rows to the driver. Exact BIGINT
+    sums: identical in both engines regardless of row order."""
     rows = (assigned.groupBy("cluster")
             .agg(F.count("*").alias("n"),
                  *[F.sum(F.element_at("qv", i + 1)).alias(f"s{i}")
@@ -102,7 +121,8 @@ def _update(assigned):
 
 def _final_assignment(spark, sf_dir):
     q = _quantized(spark, sf_dir)
-    seeds = (q.filter(F.col("vec_id") < _K)
+    k = _k_for(q.count())
+    seeds = (q.filter(F.col("vec_id") < k)
              .orderBy("vec_id").collect())
     cents = [(int(r["vec_id"]), [int(v) for v in r["qv"]], 1)
              for r in seeds]
@@ -114,46 +134,55 @@ def _final_assignment(spark, sf_dir):
 def vec_kmeans_assign(spark, sf_dir):
     return (_final_assignment(spark, sf_dir)
             .select("vec_id", "cluster",
-                    F.floor(F.col("dist") * F.lit(1000000.0))
-                    .cast("bigint").alias("dist_e6")))
+                    F.floor(F.col("dist")).cast("bigint").alias("dist_i")))
+
+
+_SEMDEDUP_SCHEMA = ("cluster bigint, drop_id bigint, kept_by bigint, "
+                    "max_cos_e6 bigint")
 
 
 def vec_semdedup_drop(spark, sf_dir):
     a = _final_assignment(spark, sf_dir).select("vec_id", "qv", "cluster")
-    nrm = F.sqrt(F.aggregate(
-        F.transform(F.col("qv"), lambda x:
-                    x.cast("double") * x.cast("double")),
-        F.lit(0.0), lambda acc, v: acc + v))
-    a = a.withColumn("nrm", nrm)
-    lo = a.select(F.col("cluster").alias("c"),
-                  F.col("vec_id").alias("keep_id"),
-                  F.col("qv").alias("qv_a"), F.col("nrm").alias("nrm_a"))
-    hi = a.select(F.col("cluster").alias("c"),
-                  F.col("vec_id").alias("drop_id"),
-                  F.col("qv").alias("qv_b"), F.col("nrm").alias("nrm_b"))
-    cos = F.floor(
-        F.aggregate(F.zip_with(F.col("qv_a"), F.col("qv_b"),
-                               lambda x, y: x.cast("double")
-                               * y.cast("double")),
-                    F.lit(0.0), lambda acc, v: acc + v)
-        / (F.col("nrm_a") * F.col("nrm_b")) * F.lit(1000000.0)
-    ).cast("bigint")
-    return (lo.join(hi, "c")
-            .filter(F.col("keep_id") < F.col("drop_id"))
-            .select(F.col("c").alias("cluster"), "keep_id", "drop_id",
-                    cos.alias("cos_e6"))
-            .filter(F.col("cos_e6") >= _SEMDEDUP_MIN_E6)
-            .groupBy("cluster", "drop_id")
-            .agg(F.min("keep_id").cast("bigint").alias("kept_by"),
-                 F.max("cos_e6").cast("bigint").alias("max_cos_e6")))
+
+    def per_cluster(pdf):
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        X = np.array(pdf["qv"].tolist(), dtype=np.float64)
+        nrm = np.sqrt((X * X).sum(axis=1))
+        nrm[nrm == 0.0] = 1.0  # zero vectors match nothing
+        C = (X / nrm[:, None]) @ (X / nrm[:, None]).T
+        cos_e6 = np.floor(C * 1000000.0).astype(np.int64)
+        i_idx, j_idx = np.triu_indices(len(ids), k=1)
+        hit = cos_e6[i_idx, j_idx] >= _SEMDEDUP_MIN_E6
+        i_idx, j_idx = i_idx[hit], j_idx[hit]
+        if not len(j_idx):
+            return pd.DataFrame({
+                "cluster": pd.Series(dtype="int64"),
+                "drop_id": pd.Series(dtype="int64"),
+                "kept_by": pd.Series(dtype="int64"),
+                "max_cos_e6": pd.Series(dtype="int64")})
+        out = (pd.DataFrame({"drop_id": ids[j_idx],
+                             "kept_by": ids[i_idx],
+                             "max_cos_e6": cos_e6[i_idx, j_idx]})
+               .groupby("drop_id", as_index=False)
+               .agg(kept_by=("kept_by", "min"),
+                    max_cos_e6=("max_cos_e6", "max")))
+        out.insert(0, "cluster", int(pdf["cluster"].iloc[0]))
+        return out
+
+    return a.groupBy("cluster").applyInPandas(per_cluster,
+                                              schema=_SEMDEDUP_SCHEMA)
 
 
 # --- DuckDB twins: the same two Lloyd rounds as unrolled CTEs ----------------
 
 def _kmeans_cte():
-    dist = """list_reduce(list_transform(range(1, {d1}),
-                i -> (q.qv[i]::DOUBLE - (c.s[i]::DOUBLE / c.n::DOUBLE))
-                     * (q.qv[i]::DOUBLE - (c.s[i]::DOUBLE / c.n::DOUBLE))),
+    # sequential (x - s/n)^2 fold: algebraically equal to the numpy
+    # identity form, bit-different at the ulp level — hence the coarse
+    # floors on every float output (module docstring)
+    dist = """list_reduce(list_transform(list_transform(range(1, {d1}),
+                i -> q.qv[i]::DOUBLE - (c.s[i]::DOUBLE / c.n::DOUBLE)),
+                d -> d * d),
                 (a, b) -> a + b)""".format(d1=_DIM + 1)
     return f"""
 q AS (
@@ -161,9 +190,11 @@ q AS (
          list_transform(embedding,
                         x -> floor(x::DOUBLE * {_SCALE})::BIGINT) AS qv
   FROM embeddings),
+kk AS (
+  SELECT greatest({_K_MIN}, count(*) // {_K_DIVISOR})::BIGINT AS k FROM q),
 c0 AS (
   SELECT vec_id AS cluster, qv AS s, 1::BIGINT AS n
-  FROM q WHERE vec_id < {_K}),
+  FROM q WHERE vec_id < (SELECT k FROM kk)),
 d1 AS (
   SELECT q.vec_id, q.qv, c.cluster, {dist} AS dist,
          row_number() OVER (PARTITION BY q.vec_id
@@ -189,8 +220,8 @@ a2 AS (SELECT vec_id, qv, cluster, dist FROM d2 WHERE rn = 1)
 KMEANS_SQL = f"""
 WITH {_kmeans_cte()}
 SELECT vec_id, cluster::BIGINT AS cluster,
-       floor(dist * 1000000.0)::BIGINT AS dist_e6
-FROM a2 ORDER BY vec_id
+       floor(greatest(dist, 0.0))::BIGINT AS dist_i
+FROM a2
 """
 
 
@@ -204,13 +235,14 @@ nq AS (
 pairs AS (
   SELECT a.cluster, a.vec_id AS keep_id, b.vec_id AS drop_id,
          floor(list_reduce(list_transform(range(1, {_DIM + 1}),
-                 i -> a.qv[i]::DOUBLE * b.qv[i]::DOUBLE), (x, y) -> x + y)
-               / (a.nrm * b.nrm) * 1000000.0)::BIGINT AS cos_e6
+                 i -> (a.qv[i]::DOUBLE / a.nrm)
+                      * (b.qv[i]::DOUBLE / b.nrm)), (x, y) -> x + y)
+               * 1000000.0)::BIGINT AS cos_e6
   FROM nq a JOIN nq b ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
 SELECT cluster::BIGINT AS cluster, drop_id::BIGINT AS drop_id,
        min(keep_id)::BIGINT AS kept_by, max(cos_e6)::BIGINT AS max_cos_e6
 FROM pairs WHERE cos_e6 >= {_SEMDEDUP_MIN_E6}
-GROUP BY cluster, drop_id ORDER BY drop_id
+GROUP BY cluster, drop_id
 """
 
 
