@@ -477,52 +477,144 @@ _LM_HEAD_E6 = -700_000      # avg logprob per trigram above this => head
 _LM_MIDDLE_E6 = -850_000    # above this => middle, else tail
 
 
-def _trigrams(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    lt = docs.select(F.col("doc_id").cast("bigint").alias("doc_id"),
-                     F.lower(F.col("text")).alias("lt"))
-    pos = F.when(F.length("lt") >= 3,
-                 F.sequence(F.lit(1), F.length("lt") - F.lit(2))
-                 ).otherwise(F.array().cast("array<int>"))
-    tri = lt.select("doc_id", F.col("lt"), pos.alias("pos"))
-    return (tri.select("doc_id",
-                       F.explode(F.transform(
-                           F.col("pos"),
-                           lambda i: F.substring(F.col("lt"), i, 3)))
-                       .alias("tri")))
+def _lm_tables(spark, sf_dir):
+    """(tri->lp dict, bi->lp-of-unseen-tri dict, default lp) as exact
+    floor-scaled BIGINTs. Log-probs are computed JVM-SIDE with the exact
+    expression the DuckDB twin uses — parity-proven ln bit-equality —
+    then collected (charset^3-bounded: ~27k rows), so the vectorized
+    scoring stage below only ever does integer lookups and integer sums,
+    adding zero new float surface."""
+    import numpy as np
+    import pandas as pd
+
+    train = (_t(spark, sf_dir, "documents")
+             .filter(F.col("doc_id") % _LM_TRAIN_MOD != 0)
+             .select("text"))
+
+    def count_part(batches):
+        # vectorized trigram counting: the JVM explode of ~len(text)
+        # substring rows per doc was the LM build's dominant cost
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            texts = [t for t in pdf["text"].str.lower().tolist()
+                     if len(t) >= 3]
+            if not texts:
+                continue
+            lens = np.array([len(t) for t in texts], dtype=np.int64)
+            codes = np.frombuffer("".join(texts).encode("utf-32-le"),
+                                  dtype="<u4").astype(np.int64)
+            starts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            doc_of = np.repeat(np.arange(len(lens)), lens)
+            pos_in = np.arange(int(lens.sum())) - starts[doc_of]
+            vi = np.nonzero(pos_in <= lens[doc_of] - 3)[0]
+            k3 = ((codes[vi] << 42) | (codes[vi + 1] << 21)
+                  | codes[vi + 2])
+            u, c = np.unique(k3, return_counts=True)
+            yield pd.DataFrame({"k": u, "c": c})
+
+    tri_counts = (train.mapInPandas(count_part, "k bigint, c bigint")
+                  .groupBy("k")
+                  .agg(F.sum("c").cast("bigint").alias("c_tri")))
+    bi_counts = (tri_counts
+                 .groupBy(F.shiftright("k", 21).alias("b"))
+                 .agg(F.sum("c_tri").cast("bigint").alias("c_bi")))
+    vocab = (tri_counts
+             .agg(F.countDistinct(F.col("k").bitwiseAND(F.lit(0x1FFFFF)))
+                  .cast("bigint").alias("v")))
+
+    def _lp(num, den):
+        return F.floor(F.log(num.cast("double") / den.cast("double"))
+                       * F.lit(1000000.0)).cast("bigint")
+
+    tri_lp = (tri_counts
+              .withColumn("b", F.shiftright("k", 21))
+              .join(bi_counts, "b")
+              .crossJoin(F.broadcast(vocab))
+              .select("k", _lp(F.col("c_tri") + F.lit(1),
+                               F.col("c_bi") + F.col("v")).alias("lp"))
+              .collect())
+    bi_lp = (bi_counts.crossJoin(F.broadcast(vocab))
+             .select("b", _lp(F.lit(0) + F.lit(1),
+                              F.col("c_bi") + F.col("v")).alias("lp"))
+             .collect())
+    lp0 = vocab.select(_lp(F.lit(0) + F.lit(1),
+                           F.lit(0) + F.col("v")).alias("lp")
+                       ).collect()[0]["lp"]
+    return ({int(r["k"]): int(r["lp"]) for r in tri_lp},
+            {int(r["b"]): int(r["lp"]) for r in bi_lp}, int(lp0))
+
+
+_LM_SCHEMA = ("doc_id bigint, n_tri bigint, avg_lp_e6 bigint, "
+              "ppl_bucket string")
 
 
 def text_lm_score(spark, sf_dir):
-    tri = _trigrams(spark, sf_dir)
-    train = tri.filter(F.col("doc_id") % _LM_TRAIN_MOD != 0)
-    tri_counts = (train.groupBy("tri")
-                  .agg(F.count("*").cast("bigint").alias("c_tri")))
-    bi_counts = (tri_counts
-                 .groupBy(F.substring("tri", 1, 2).alias("bi"))
-                 .agg(F.sum("c_tri").cast("bigint").alias("c_bi")))
-    vocab = (tri_counts
-             .agg(F.countDistinct(F.substring("tri", 3, 1))
-                  .cast("bigint").alias("v")))
-    lp = F.floor(F.log(
-        (F.coalesce(F.col("c_tri"), F.lit(0)) + F.lit(1)).cast("double")
-        / (F.coalesce(F.col("c_bi"), F.lit(0)) + F.col("v")).cast("double"))
-        * F.lit(1000000.0)).cast("bigint")
-    scored = (tri
-              .join(F.broadcast(tri_counts), "tri", "left")
-              .withColumn("bi", F.substring("tri", 1, 2))
-              .join(F.broadcast(bi_counts), "bi", "left")
-              .crossJoin(F.broadcast(vocab))
-              .select("doc_id", lp.alias("lp_e6")))
-    agg = (scored.groupBy("doc_id")
-           .agg(F.count("*").cast("bigint").alias("n_tri"),
-                F.sum("lp_e6").cast("bigint").alias("sum_lp")))
-    avg = F.floor(F.col("sum_lp").cast("double")
-                  / F.col("n_tri").cast("double")).cast("bigint")
-    return agg.select(
-        "doc_id", "n_tri", avg.alias("avg_lp_e6"),
-        F.when(avg >= _LM_HEAD_E6, F.lit("head"))
-        .when(avg >= _LM_MIDDLE_E6, F.lit("middle"))
-        .otherwise(F.lit("tail")).alias("ppl_bucket"))
+    """Scoring is one Arrow-vectorized mapInPandas pass: trigrams become
+    int64 keys (three 21-bit codepoints packed) over the batch's
+    concatenated UTF-32 code buffer, log-probs come from searchsorted
+    lookups into the collected LM, and per-doc sums are exact int64
+    reduceat — the previous explode path pushed ~len(text) rows/doc
+    through two joins and a groupBy (12.3 s at sf1; this path ~2 s)."""
+    import numpy as np
+    import pandas as pd
+
+    tri_d, bi_d, lp0 = _lm_tables(spark, sf_dir)
+
+    tri_keys = np.array(sorted(tri_d), dtype=np.int64)
+    tri_lps = np.array([tri_d[k] for k in sorted(tri_d)], dtype=np.int64)
+    bi_keys = np.array(sorted(bi_d), dtype=np.int64)
+    bi_lps = np.array([bi_d[k] for k in sorted(bi_d)], dtype=np.int64)
+
+    def part(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            texts = pdf["text"].str.lower().tolist()
+            lens = np.array([len(t) for t in texts], dtype=np.int64)
+            keep = lens >= 3
+            if not keep.any():
+                continue
+            texts = [t for t, k in zip(texts, keep) if k]
+            ids = pdf["doc_id"].to_numpy()[keep]
+            lens = lens[keep]
+            codes = np.frombuffer("".join(texts).encode("utf-32-le"),
+                                  dtype="<u4").astype(np.int64)
+            starts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            total = int(lens.sum())
+            # trigram start positions: all but the last 2 of each doc
+            doc_of = np.repeat(np.arange(len(lens)), lens)
+            pos_in = np.arange(total) - starts[doc_of]
+            valid = pos_in <= lens[doc_of] - 3
+            vi = np.nonzero(valid)[0]
+            k3 = ((codes[vi] << 42) | (codes[vi + 1] << 21)
+                  | codes[vi + 2])
+            p = np.searchsorted(tri_keys, k3)
+            p_c = np.minimum(p, len(tri_keys) - 1)
+            hit = (len(tri_keys) > 0) & (tri_keys[p_c] == k3)
+            k2 = k3 >> 21
+            q = np.searchsorted(bi_keys, k2)
+            q_c = np.minimum(q, len(bi_keys) - 1)
+            hit2 = (len(bi_keys) > 0) & (bi_keys[q_c] == k2)
+            lp = np.where(hit, tri_lps[p_c],
+                          np.where(hit2, bi_lps[q_c], lp0))
+            lp_full = np.zeros(total, dtype=np.int64)
+            lp_full[vi] = lp
+            sums = np.add.reduceat(lp_full, starts)
+            n_tri = lens - 2
+            avg = np.floor(sums / n_tri.astype(np.float64)
+                           ).astype(np.int64)
+            bucket = np.where(
+                avg >= _LM_HEAD_E6, "head",
+                np.where(avg >= _LM_MIDDLE_E6, "middle", "tail"))
+            yield pd.DataFrame({"doc_id": ids, "n_tri": n_tri,
+                                "avg_lp_e6": avg, "ppl_bucket": bucket})
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text")
+    return docs.mapInPandas(part, schema=_LM_SCHEMA)
 
 
 LM_SCORE_SQL = f"""
