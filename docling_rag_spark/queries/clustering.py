@@ -229,8 +229,11 @@ SEMDEDUP_SQL = f"""
 WITH {_kmeans_cte()},
 nq AS (
   SELECT vec_id, qv, cluster,
-         sqrt(list_reduce(list_transform(range(1, {_DIM + 1}),
-              i -> qv[i]::DOUBLE * qv[i]::DOUBLE), (a, b) -> a + b)) AS nrm
+         coalesce(nullif(
+           sqrt(list_reduce(list_transform(range(1, {_DIM + 1}),
+                i -> qv[i]::DOUBLE * qv[i]::DOUBLE), (a, b) -> a + b)),
+           0.0), 1.0) AS nrm  -- zero vectors match nothing (Spark twin
+                              -- sets nrm=1.0; 0/0 would NaN here)
   FROM a2),
 pairs AS (
   SELECT a.cluster, a.vec_id AS keep_id, b.vec_id AS drop_id,

@@ -8,10 +8,12 @@ operators add that surface Spark-first:
 - ``text_bm25_topk`` — Okapi BM25 (k1=1.2, b=0.75) top-k over the
   ``documents`` table for a fixed 3-term query. Plan shape: one
   tokenize+tf scan (token array materialized ONCE per row — the HOF
-  closure pitfall re-evaluates the regexp per lambda use otherwise), a
-  single-row corpus-stats aggregate broadcast back, map-only scoring,
-  TakeOrderedAndProject top-k. At 100 TB: stats is a tree-aggregate to
-  one row, scoring never shuffles the corpus, top-k never sorts it.
+  closure pitfall re-evaluates the regexp per lambda use otherwise)
+  persisted as a 5-BIGINT/row projection, a single-row corpus-stats
+  aggregate collected to driver literals, map-only scoring over the
+  cached projection, TakeOrderedAndProject top-k. At 100 TB: the text
+  is tokenized exactly once, stats is a tree-aggregate to one row,
+  scoring never shuffles the corpus, top-k never sorts it.
   Portability: per-term scores are floor-scaled to e4 BIGINTs *before*
   the cross-term sum, so the only float addition happens in identical
   per-term expression order in both engines; ``ln`` inputs are built
@@ -67,27 +69,40 @@ def _bm25_scores(spark, sf_dir):
         # HOF binder (element, index) and silently compares tokens to ints
         return F.size(F.filter(F.col("toks"), lambda x: x == F.lit(term)))
 
+    # Persist the narrow (doc_id, dl, tf_*) projection — 5 BIGINTs/row —
+    # so the regexp tokenize scan (the dominant cost) runs ONCE: the
+    # stats aggregate materializes the cache, scoring re-reads it.
+    # Without this the broadcast-stats job and the scoring pass each
+    # re-tokenize the corpus (2x; 4x when the hybrid fusion rebuilds its
+    # pool) — at 100 TB that is re-reading 100 TB of text per pass,
+    # while the cached projection is ~40 bytes/doc on MEMORY_AND_DISK.
+    from pyspark import StorageLevel
     base = tok.select(
         "doc_id",
         F.size("toks").cast("bigint").alias("dl"),
         *[_tf(term).cast("bigint").alias(f"tf_{i}")
-          for i, term in enumerate(_BM25_TERMS)])
-    stats = base.agg(
+          for i, term in enumerate(_BM25_TERMS)]
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    srow = base.agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("dl").cast("bigint").alias("sum_dl"),
         *[F.sum((F.col(f"tf_{i}") > 0).cast("bigint"))
           .cast("bigint").alias(f"df_{i}")
-          for i in range(len(_BM25_TERMS))])
+          for i in range(len(_BM25_TERMS))]).collect()[0]
+    n_docs = F.lit(int(srow["n_docs"])).cast("bigint")
+    sum_dl = F.lit(int(srow["sum_dl"])).cast("bigint")
+    dfs = [F.lit(int(srow[f"df_{i}"])).cast("bigint")
+           for i in range(len(_BM25_TERMS))]
 
     def term_score(i):
-        # identical operation order as the SQL twin below
+        # identical operation order as the SQL twin below; stats enter as
+        # literal BIGINTs (same values, same casts, same expression tree)
         idf = F.log(F.lit(1.0)
-                    + ((F.col("n_docs") - F.col(f"df_{i}")).cast("double")
-                       + F.lit(0.5))
-                    / (F.col(f"df_{i}").cast("double") + F.lit(0.5)))
+                    + ((n_docs - dfs[i]).cast("double") + F.lit(0.5))
+                    / (dfs[i].cast("double") + F.lit(0.5)))
         tfd = F.col(f"tf_{i}").cast("double")
-        dl_ratio = ((F.col("dl") * F.col("n_docs")).cast("double")
-                    / F.col("sum_dl").cast("double"))
+        dl_ratio = ((F.col("dl") * n_docs).cast("double")
+                    / sum_dl.cast("double"))
         part = (tfd * F.lit(2.2)) / (
             tfd + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * dl_ratio))
         return F.when(F.col(f"tf_{i}") > 0,
@@ -96,8 +111,7 @@ def _bm25_scores(spark, sf_dir):
 
     score = sum((term_score(i) for i in range(1, len(_BM25_TERMS))),
                 term_score(0))
-    return (base.crossJoin(F.broadcast(stats))
-            .select("doc_id", "dl", score.alias("score_e4"))
+    return (base.select("doc_id", "dl", score.alias("score_e4"))
             .filter(F.col("score_e4") > 0))
 
 

@@ -471,6 +471,14 @@ FROM j
 # Portability: per-trigram log-probs floor-scale to e6 BIGINTs, the per-doc
 # sum is exact integer math, and the final mean divides two exact ints as
 # doubles — no float aggregation crosses engines.
+#
+# Casefold precondition: Spark-side lowercasing is Python str.lower();
+# the twin uses DuckDB lower() (utf8proc). These agree on ASCII and on
+# the vast majority of Unicode, but diverge on length-changing casefolds
+# (e.g. U+0130 lowercases to 2 codepoints in Python, 1 in utf8proc),
+# which would shift trigram positions between engines. documents.parquet
+# is clean ASCII (same precondition webops relies on); non-ASCII corpora
+# must pre-normalize (text_unicode_clean) before LM scoring.
 
 _LM_TRAIN_MOD = 10          # doc_id % 10 != 0 trains the LM
 _LM_HEAD_E6 = -700_000      # avg logprob per trigram above this => head

@@ -154,7 +154,11 @@ def submit_job(pages: str, out: str, n_exec: int, exec_cores: int,
     line = [ln for ln in proc.stdout.strip().splitlines()
             if ln.startswith("{")][-1]
     r = json.loads(line)
-    hz = 100.0  # USER_HZ
+    # Jiffy rate from the kernel, not a literal 100 — wrong USER_HZ would
+    # silently scale lane_busy/steal (and the steal-clean gate). Note the
+    # steal sample is box-aggregate over the lane's wall window, not
+    # lane-scoped: it can over-flag trials as dirty, never under-flag.
+    hz = float(os.sysconf("SC_CLK_TCK"))
     r["lane_busy_cpus"] = round((b1 - b0) / hz / wall, 2)
     r["lane_steal_cpus"] = round((s1 - s0) / hz / wall, 2)
     return r
