@@ -1,12 +1,19 @@
 """Multimodal column plumbing: opaque binary payloads → typed metadata,
 features, resizes, and frame samples, all as Arrow-batched pandas stages.
 
-The container ships no image/audio codecs (no PIL/ffmpeg), so the *decode*
-innermost step is stubbed two ways, per the build contract:
+The container ships no image/audio codec libraries (no PIL/ffmpeg), so
+decode support is tiered, per the build contract:
 
-  * real formats (JPEG/PNG/WAV magic bytes) raise ``NotImplementedError``
-    inside the per-row try (surfaced as ``status='error'`` rows — the same
-    fail-soft error tier as corrupt PDFs, core/indexer.py:114-116);
+  * **PNG decodes for real** (VERDICT r3 task 4): a from-scratch stdlib
+    decoder — chunk walk, capped zlib inflate, full filter-type 0-4
+    unfiltering (None/Sub/Up/Average/Paeth, same scheme as the PDF
+    ``/Predictor`` path in extract_pdf.py:83), 8-bit gray / RGB /
+    palette / gray+alpha / RGBA, integer-luma grayscale reduction.
+    Interlaced (Adam7) and sub-8-bit depths are explicit error rows;
+  * remaining real formats (JPEG/WAV magic bytes) raise
+    ``NotImplementedError`` inside the per-row try (surfaced as
+    ``status='error'`` rows — the same fail-soft error tier as corrupt
+    PDFs, core/indexer.py:114-116);
   * a deterministic FAKE container format exercises the full pipeline:
       image: b"FIMG" + u32 width + u32 height + width*height gray bytes
       video: b"FVID" + u32 n_frames + u32 frame_len + frames…
@@ -22,6 +29,7 @@ sampling reuses the reference's evenly-spaced page-sampling arithmetic
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -33,9 +41,12 @@ from pyspark.sql import types as T
 FAKE_IMG = b"FIMG"
 FAKE_VID = b"FVID"
 FAKE_AUD = b"FAUD"
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _REAL_MAGICS = {
-    b"\xff\xd8\xff": "jpeg", b"\x89PNG": "png", b"RIFF": "wav/avi",
+    b"\xff\xd8\xff": "jpeg", b"RIFF": "wav/avi",
 }
+_PNG_MAX_PIXELS = 64 * 1024 * 1024   # bomb bound before any allocation
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> samples/px
 
 MEDIA_META_SCHEMA = T.StructType([
     T.StructField("url", T.StringType(), False),
@@ -54,8 +65,119 @@ MEDIA_META_SCHEMA = T.StructType([
 _FEAT_DIM = 16
 
 
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _decode_png(payload: bytes) -> dict:
+    """From-scratch PNG decode (stdlib zlib only): 8-bit, non-interlaced,
+    color types 0/2/3/4/6, filters 0-4, grayscale-reduced to the same
+    (width, height, pix) contract as the fake container. Every
+    attacker-controlled size is bounded BEFORE allocation: pixel cap,
+    chunk-length vs payload checks, and a capped inflate (we ask zlib for
+    exactly the expected byte count — a bomb cannot expand past it)."""
+    pos = len(PNG_SIG)
+    width = height = None
+    bit_depth = color_type = None
+    plte = None
+    idat: list[bytes] = []
+    while pos + 8 <= len(payload):
+        (clen,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4:pos + 8]
+        if pos + 8 + clen > len(payload):
+            raise ValueError("truncated png chunk")
+        data = payload[pos + 8:pos + 8 + clen]
+        if ctype == b"IHDR":
+            (width, height, bit_depth, color_type, comp, filt,
+             interlace) = struct.unpack_from(">IIBBBBB", data, 0)
+            if interlace != 0:
+                raise ValueError("interlaced (Adam7) png unsupported")
+            if bit_depth != 8:
+                raise ValueError(f"png bit depth {bit_depth} unsupported")
+            if comp != 0 or filt != 0:
+                raise ValueError("nonstandard png compression/filter method")
+        elif ctype == b"PLTE":
+            if clen % 3 or clen == 0:
+                raise ValueError("malformed PLTE")
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3).astype(
+                np.int32)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen  # length + type + data + crc
+    if width is None or not idat:
+        raise ValueError("png missing IHDR or IDAT")
+    channels = _PNG_CHANNELS.get(color_type)
+    if channels is None:
+        raise ValueError(f"png color type {color_type} unsupported")
+    if color_type == 3 and plte is None:
+        raise ValueError("palette png missing PLTE")
+    if width == 0 or height == 0:
+        raise ValueError("png with zero width/height")
+    if width * height > _PNG_MAX_PIXELS:
+        raise ValueError(f"png {width}x{height} exceeds the pixel cap")
+    rowbytes = width * channels
+    expected = (rowbytes + 1) * height
+    raw = zlib.decompressobj().decompress(b"".join(idat), expected)
+    if len(raw) < expected:
+        raise ValueError("png pixel data truncated")
+    arr = np.frombuffer(raw, np.uint8).reshape(height, rowbytes + 1)
+    filters = arr[:, 0]
+    bpp = channels
+    prev = np.zeros(rowbytes, np.int32)
+    out = np.empty((height, rowbytes), np.uint8)
+    for y in range(height):
+        ft = int(filters[y])
+        cur = arr[y, 1:].astype(np.int32)
+        if ft == 0:
+            pass
+        elif ft == 1:    # Sub
+            for i in range(bpp, rowbytes):
+                cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
+        elif ft == 2:    # Up (vectorized: no intra-row dependency)
+            cur = (cur + prev) & 0xFF
+        elif ft == 3:    # Average
+            for i in range(rowbytes):
+                left = int(cur[i - bpp]) if i >= bpp else 0
+                cur[i] = (cur[i] + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif ft == 4:    # Paeth
+            for i in range(rowbytes):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                cur[i] = (cur[i] + _paeth(a, int(prev[i]), c)) & 0xFF
+        else:
+            raise ValueError(f"png filter type {ft} invalid")
+        out[y] = cur
+        prev = cur
+    px = out.reshape(height, width, channels).astype(np.int32)
+    if color_type == 3:
+        rgb = plte[out.reshape(height, width) % len(plte)]
+        gray = (299 * rgb[:, :, 0] + 587 * rgb[:, :, 1]
+                + 114 * rgb[:, :, 2]) // 1000
+    elif channels <= 2:   # gray / gray+alpha: luma channel as-is
+        gray = px[:, :, 0]
+    else:                 # RGB / RGBA: integer luma, deterministic
+        gray = (299 * px[:, :, 0] + 587 * px[:, :, 1]
+                + 114 * px[:, :, 2]) // 1000
+    return {"media_type": "image", "width": int(width),
+            "height": int(height),
+            "pix": gray.astype(np.uint8).reshape(-1)}
+
+
 def _decode_one(payload: bytes) -> dict:
-    """Decode the fake container; refuse real codecs explicitly."""
+    """Decode PNG (real) or the fake container; refuse other real codecs
+    explicitly."""
+    if payload.startswith(PNG_SIG[:4]):
+        if not payload.startswith(PNG_SIG) or len(payload) < 33:
+            raise ValueError("truncated png signature/header")
+        return _decode_png(payload)
     for magic, name in _REAL_MAGICS.items():
         if payload.startswith(magic):
             raise NotImplementedError(
@@ -238,3 +360,43 @@ def build_fake_audio(sample_rate: int, n_samples: int, seed: int = 0) -> bytes:
     rng = np.random.default_rng(seed)
     return FAKE_AUD + struct.pack("<I", sample_rate) + rng.integers(
         -2000, 2000, n_samples, dtype=np.int16).tobytes()
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data)))
+
+
+def build_png(w: int, h: int, seed: int = 0, color_type: int = 2,
+              filter_type: int = 0) -> bytes:
+    """REAL PNG bytes (deterministic pixels): 8-bit gray/RGB/gray+alpha/
+    RGBA, every scanline filtered with ``filter_type`` (forward filtering
+    here; the decoder must invert it — the round-trip test surface)."""
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    rng = np.random.default_rng(seed)
+    pix = rng.integers(0, 256, (h, w * channels), dtype=np.uint8)
+    bpp = channels
+    raw = bytearray()
+    prev = np.zeros(w * channels, np.int32)
+    for y in range(h):
+        cur = pix[y].astype(np.int32)
+        enc = cur.copy()
+        if filter_type == 1:
+            enc[bpp:] = (cur[bpp:] - cur[:-bpp]) & 0xFF
+        elif filter_type == 2:
+            enc = (cur - prev) & 0xFF
+        elif filter_type == 3:
+            for i in range(len(cur)):
+                left = int(cur[i - bpp]) if i >= bpp else 0
+                enc[i] = (cur[i] - ((left + int(prev[i])) >> 1)) & 0xFF
+        elif filter_type == 4:
+            for i in range(len(cur)):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                enc[i] = (cur[i] - _paeth(a, int(prev[i]), c)) & 0xFF
+        raw += bytes([filter_type]) + enc.astype(np.uint8).tobytes()
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+            + _png_chunk(b"IEND", b""))

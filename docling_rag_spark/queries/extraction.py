@@ -303,20 +303,27 @@ def _fake_media(spark, sf_dir):
     import pandas as pd
 
     from docling_rag_spark.operators.multimodal import (
-        build_fake_audio, build_fake_image, build_fake_video)
+        build_fake_audio, build_fake_image, build_fake_video, build_png)
 
     def make_payloads(batches):
         for pdf in batches:
             payloads = []
             for did in pdf["doc_id"]:
-                kind = did % 3
+                kind = did % 4
                 if kind == 0:
                     payloads.append(build_fake_image(16, 16, seed=int(did)))
                 elif kind == 1:
                     payloads.append(build_fake_video(12, seed=int(did)))
-                else:
+                elif kind == 2:
                     payloads.append(build_fake_audio(8000, 4000,
                                                      seed=int(did)))
+                else:
+                    # REAL PNG payloads, rotating color and filter types so
+                    # the golden pins the whole decode matrix
+                    payloads.append(build_png(
+                        12, 9, seed=int(did),
+                        color_type=(0, 2, 4, 6)[(int(did) // 4) % 4],
+                        filter_type=(int(did) // 16) % 5))
             yield pd.DataFrame({
                 "url": ["media://" + str(d) for d in pdf["doc_id"]],
                 "payload": payloads})

@@ -105,3 +105,66 @@ def test_hostile_headers_fail_soft(spark):
     rs = {r["url"]: r["status"] for r in resize_images(df, 2, 2).collect()}
     assert rs["m://ok"] == "ok"
     assert all(s.startswith("error") for u, s in rs.items() if u != "m://ok")
+
+
+# --- real PNG decode (VERDICT r3 task 4) --------------------------------------
+
+def test_png_roundtrip_all_filters_and_colortypes():
+    """build_png forward-filters every scanline; the decoder must invert
+    filters 0-4 for gray/RGB/gray+alpha/RGBA back to the exact pixels."""
+    from docling_rag_spark.operators.multimodal import _decode_png, build_png
+
+    for ct in (0, 2, 4, 6):
+        ch = {0: 1, 2: 3, 4: 2, 6: 4}[ct]
+        for ft in (0, 1, 2, 3, 4):
+            d = _decode_png(build_png(9, 7, seed=ct * 10 + ft,
+                                      color_type=ct, filter_type=ft))
+            rng = np.random.default_rng(ct * 10 + ft)
+            pix = rng.integers(0, 256, (7, 9 * ch), dtype=np.uint8) \
+                .reshape(7, 9, ch).astype(np.int32)
+            gray = (pix[:, :, 0] if ch <= 2 else
+                    (299 * pix[:, :, 0] + 587 * pix[:, :, 1]
+                     + 114 * pix[:, :, 2]) // 1000)
+            assert (d["width"], d["height"]) == (9, 7)
+            assert np.array_equal(d["pix"],
+                                  gray.astype(np.uint8).reshape(-1)), (ct, ft)
+
+
+def test_png_through_spark_pipeline(spark):
+    """Real PNG payloads flow through describe_media and resize_images as
+    first-class images; hostile/truncated/interlaced PNGs are error rows."""
+    import struct as _s
+    import zlib as _z
+
+    from docling_rag_spark.operators.multimodal import (
+        PNG_SIG, _png_chunk, build_png)
+
+    interlaced = (PNG_SIG
+                  + _png_chunk(b"IHDR", _s.pack(">IIBBBBB", 4, 3, 8, 0, 0, 0, 1))
+                  + _png_chunk(b"IDAT", _z.compress(b"\x00" * 15))
+                  + _png_chunk(b"IEND", b""))
+    bomb = (PNG_SIG
+            + _png_chunk(b"IHDR", _s.pack(">IIBBBBB", 1 << 16, 1 << 16, 8, 0, 0, 0, 0))
+            + _png_chunk(b"IDAT", b"x") + _png_chunk(b"IEND", b""))
+    rows = [
+        ("m://real1.png", build_png(10, 8, seed=1, color_type=2)),
+        ("m://real2.png", build_png(5, 5, seed=2, color_type=6, filter_type=4)),
+        ("m://trunc.png", build_png(4, 4, seed=3)[:-20]),
+        ("m://adam7.png", interlaced),
+        ("m://bomb.png", bomb),
+    ]
+    df = spark.createDataFrame(rows, "url string, payload binary")
+    got = {r["url"]: r for r in describe_media(df).collect()}
+    assert got["m://real1.png"]["status"] == "ok"
+    assert (got["m://real1.png"]["width"], got["m://real1.png"]["height"]) == (10, 8)
+    assert got["m://real2.png"]["media_type"] == "image"
+    assert got["m://real2.png"]["feature"] is not None
+    for bad in ("m://trunc.png", "m://adam7.png", "m://bomb.png"):
+        assert got[bad]["status"] == "error", bad
+    # resize accepts the decoded PNG and re-encodes to the fake container
+    rz = {r["url"]: r for r in
+          resize_images(df, 4, 4).collect()}
+    assert rz["m://real1.png"]["status"] == "ok"
+    assert rz["m://real1.png"]["payload"][:4] == FAKE_IMG
+    w, h = struct.unpack_from("<II", bytes(rz["m://real1.png"]["payload"]), 4)
+    assert (w, h) == (4, 4)
