@@ -11,6 +11,9 @@ Endpoint surface mirrors the reference's FastAPI app (api/app.py:198-333):
   GET    /status                          lineage/job rollup per snapshot
   GET    /jobs            + /jobs/<id>    async extraction job states
   POST   /extract {"pages_path": ..}      submit an extraction job
+  POST   /chat {"message": ..}            cited RAG context + sources
+                                          (deterministic half of the
+                                          reference chat agent; no LLM)
   DELETE /documents?url=a&url=b           FK-cascade delete
 
 stdlib http.server only (no web framework ships in this sandbox); the
@@ -108,6 +111,14 @@ def make_server(spark: SparkSession, warehouse: str,
                                      if "num_buckets" in payload
                                      else None))
                     self._json({"job_id": job_id}, 202)
+                elif u.path == "/chat":
+                    # reference POST /chat (api/app.py:145-176), minus the
+                    # LLM: answer = the deterministic cited context block
+                    if not payload.get("message"):
+                        return self._json({"error": "missing message"}, 400)
+                    self._json(service.chat_payload(
+                        spark, warehouse, payload["message"],
+                        top_k=int(payload.get("top_k", 3))))
                 else:
                     self._json({"error": "not found"}, 404)
             except Exception as exc:

@@ -27,7 +27,8 @@ from docling_rag_spark.io import warehouse as wh
 
 def search_warehouse(spark: SparkSession, warehouse: str, query: str,
                      top_k: int = 5, url_prefix: str | None = None,
-                     log: bool = True, mode: str = "auto") -> list[dict]:
+                     log: bool = True, mode: str = "auto",
+                     include_text: bool = False) -> list[dict]:
     """§3.2 search lifecycle: embed query -> top-k -> decorate (J1) ->
     heading path (F3) + 300-char preview (F4) -> search log (S8).
 
@@ -75,6 +76,7 @@ def search_warehouse(spark: SparkSession, warehouse: str, query: str,
         .select("url", "title")
     meta = chunks.select("url", "chunk_id", "text", "headings",
                          "page_number", "element_type")
+    extra = [F.col("text"), F.col("headings")] if include_text else []
     rows = (hits.join(F.broadcast(docs), "url", "left")
             .join(meta, ["url", "chunk_id"], "left")
             .select("url", "chunk_id", F.round("score", 4).alias("score"),
@@ -82,12 +84,41 @@ def search_warehouse(spark: SparkSession, warehouse: str, query: str,
                     F.array_join("headings", " > ").alias("heading_path"),
                     F.translate(F.substring("text", 1, 300), "\n", " ")
                      .alias("preview"),
-                    "page_number", "element_type")
+                    "page_number", "element_type", *extra)
             .orderBy(F.desc("score"), "url", "chunk_id")
             .collect())
     if log:
         log_search(warehouse, query, rows[0]["score"] if rows else None)
     return [r.asDict() for r in rows]
+
+
+def chat_payload(spark: SparkSession, warehouse: str, message: str,
+                 top_k: int = 3) -> dict:
+    """Deterministic /chat contract (reference api/app.py:145-176 +
+    tests/api/test_chat_endpoint.py, minus the model call — same boundary
+    as the X8 LLM stand-in): run the agent's search tool, compose the
+    cited context block the LLM would receive, and return it as the
+    answer alongside the reference's sources panel — file basename, page,
+    headings, score, full chunk text, element_type per hit. The search is
+    logged exactly like the reference's agent tool call
+    (test_chat_logs_agent_search)."""
+    rows = search_warehouse(spark, warehouse, message, top_k=top_k,
+                            include_text=True)
+    sources = [{
+        "file": str(r["url"]).rsplit("/", 1)[-1],
+        "page": r["page_number"],
+        "headings": list(r["headings"] or []),
+        "score": float(r["score"]),
+        "text": r["text"],
+        "element_type": r["element_type"],
+    } for r in rows]
+    from docling_rag_spark.operators.search import format_search_results
+    context = format_search_results([
+        ({"source_file": r["url"], "page_number": r["page_number"],
+          "headings": list(r["headings"] or []), "text": r["text"]},
+         float(r["score"]))
+        for r in rows])
+    return {"answer": context, "sources": sources}
 
 
 def status_payload(spark: SparkSession, warehouse: str) -> dict:

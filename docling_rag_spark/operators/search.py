@@ -97,6 +97,28 @@ def search_chunks(spark: SparkSession,
                           F.asc("chunk_id")).limit(top_k)
 
 
+def format_search_results(results: "list[tuple[dict, float]]") -> str:
+    """Deterministic half of the reference chat agent: compose top-k hits
+    into the cited context block the LLM receives (core/agent.py:56-76 —
+    ``[i] file (p.N, score=X.XX) [h1 > h2]`` header + chunk text, joined
+    by blank lines; empty hits → the exact "No relevant documents found."
+    sentinel). The LLM call itself is out of scope (same boundary as the
+    X8 metadata stand-in); this string IS the /chat context payload."""
+    if not results:
+        return "No relevant documents found."
+    parts = []
+    for i, (meta, score) in enumerate(results, 1):
+        source = str(meta.get("source_file", "")).rsplit("/", 1)[-1]
+        page = meta.get("page_number")
+        page = "?" if page is None else page
+        headings = meta.get("headings") or []
+        header = f"[{i}] {source} (p.{page}, score={score:.2f})"
+        if headings:
+            header += " [" + " > ".join(headings) + "]"
+        parts.append(f"{header}\n{meta.get('text', '')}")
+    return "\n\n".join(parts)
+
+
 def log_search(out_dir: str, query: str, top_score: float | None) -> str:
     """S8: append (query, top_score, searched_at) to the searches log."""
     path = os.path.join(out_dir, "searches")

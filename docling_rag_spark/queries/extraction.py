@@ -254,6 +254,47 @@ def search_digest(spark, sf_dir):
         F.floor(F.col("score") * 1000000).cast("bigint").alias("score_micro"))
 
 
+def chat_context_digest(spark, sf_dir):
+    """Hard oracle for the chat agent's deterministic half (reference
+    core/agent.py:56-76 ``format_search_results`` + the /chat endpoint,
+    api/app.py:145-176): extract → embed → top-10 for the fixed query,
+    composed into the cited context block ([i] file (p.N, score=X.XX)
+    [h1 > h2] headers + chunk text). The md5 of the full block pins the
+    citation format end-to-end; the empty-case sentinel and header shape
+    are pinned separately in tests/test_api_server.py /
+    tests/test_embed_search.py."""
+    import hashlib
+
+    from docling_rag_spark.operators.embed import embed_chunks
+    from docling_rag_spark.operators.pipeline import (
+        chunks_table, extract_documents)
+    from docling_rag_spark.operators.search import (
+        format_search_results, search_chunks)
+
+    pages = _as_pages(_t(spark, sf_dir, "documents"))
+    chunks = chunks_table(extract_documents(
+        pages, salt_partitions=_salt(spark)))
+    emb = embed_chunks(chunks)
+    top = search_chunks(spark, emb, "query engine scan filter join",
+                        top_k=10,
+                        store_is_empty=_t(spark, sf_dir,
+                                          "documents").isEmpty())
+    meta = chunks.select("url", "chunk_id", "text", "headings",
+                         "page_number")
+    rows = (top.join(meta, ["url", "chunk_id"], "left")
+            .orderBy(F.desc("score"), "url", "chunk_id").collect())
+    ctx = format_search_results([
+        ({"source_file": r["url"], "page_number": r["page_number"],
+          "headings": list(r["headings"] or []), "text": r["text"]},
+         float(r["score"]))
+        for r in rows])
+    return spark.createDataFrame(
+        [("query engine scan filter join", len(rows),
+          hashlib.md5(ctx.encode()).hexdigest(), ctx[:80])],
+        "query string, n_sources int, context_md5 string, "
+        "context_head string")
+
+
 def media_digest(spark, sf_dir):
     """Hard oracle for the multimodal plumbing: typed metadata + md5-folded
     feature vector per synthesized payload."""
@@ -373,4 +414,11 @@ DIAGNOSTICS = {
     "embed_chunks": (embed_chunks_q, None),
     "search_topk": (search_topk_q, None),
     "media_describe": (media_describe_q, None),
+    # RAG answer-composition surface (VERDICT r3 task 3): golden-frozen
+    # digest of the cited context block; lives here so the driver window
+    # stays at 50 (task 8) — parity-tested locally like driver rows
+    "chat_context_digest": (chat_context_digest, _values_sql(
+        "CHAT_GOLDEN_SF001", [
+            ("query", "VARCHAR"), ("n_sources", "INT"),
+            ("context_md5", "VARCHAR"), ("context_head", "VARCHAR")])),
 }

@@ -78,6 +78,32 @@ def test_full_api_lifecycle(api):
             "preview"} <= set(top)
     assert top["score"] > 0
 
+    # chat: deterministic cited context + sources panel (mirrors the
+    # reference tests/api/test_chat_endpoint.py minus the model call —
+    # test_chat_returns_answer_and_sources + test_chat_logs_agent_search)
+    searches_dir = os.path.join(wh, "searches")
+    n_logs_before = len(os.listdir(searches_dir)) \
+        if os.path.isdir(searches_dir) else 0
+    code, chat = _req(base, "/chat", "POST",
+                      {"message": "star schema fact table", "top_k": 3})
+    assert code == 200
+    assert isinstance(chat["answer"], str) and chat["answer"]
+    assert chat["answer"].startswith("[1] ")
+    assert "score=" in chat["answer"]
+    assert chat["sources"], "search tool found hits -> sources non-empty"
+    src = chat["sources"][0]
+    assert "/" not in src["file"]            # basename, not the full url
+    assert src["file"] in chat["answer"]     # the citation names the file
+    assert isinstance(src["headings"], list)
+    assert isinstance(src["score"], float)
+    assert isinstance(src["text"], str) and src["text"]
+    assert src["text"] in chat["answer"]     # answer embeds the chunk text
+    assert "element_type" in src and "page" in src
+    # the agent's search-tool call is logged (one entry per /chat)
+    assert len(os.listdir(searches_dir)) == n_logs_before + 1
+    # contract errors
+    assert _req(base, "/chat", "POST", {})[0] == 400
+
     # resubmitting the same snapshot: resume semantics, zero new work
     code, out = _req(base, "/extract", "POST",
                      {"pages_path": pages, "num_buckets": 8})

@@ -200,3 +200,22 @@ def test_ann_serving_path_matches_exact_on_probed_buckets(spark, tmp_path):
             service.search_warehouse(spark, wh, q, mode="ann", log=False)
     finally:
         os.rename(os.path.join(wh, "ann_bak"), os.path.join(wh, "ann"))
+
+
+def test_format_search_results_contract():
+    """Port of the reference's citation formatting (core/agent.py:56-76):
+    empty sentinel, [i] file (p.N, score=X.XX) [h1 > h2] headers with
+    basename extraction, '?' for missing pages, blank-line joins."""
+    from docling_rag_spark.operators.search import format_search_results
+
+    assert format_search_results([]) == "No relevant documents found."
+    out = format_search_results([
+        ({"source_file": "/books/dv.pdf", "page_number": 42,
+          "headings": ["Ch 2"], "text": "Data Vault uses hubs."}, 0.875),
+        ({"source_file": "notes.md", "page_number": None,
+          "headings": [], "text": "Second fact."}, 0.5),
+    ])
+    blocks = out.split("\n\n")
+    assert blocks[0] == "[1] dv.pdf (p.42, score=0.88) [Ch 2]\n" \
+                        "Data Vault uses hubs."
+    assert blocks[1] == "[2] notes.md (p.?, score=0.50)\nSecond fact."
