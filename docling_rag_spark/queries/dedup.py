@@ -843,10 +843,16 @@ def _cc_labels(pairs):
     O(log n) passes). ``localCheckpoint`` truncates the per-pass lineage
     growth that would otherwise blow up the plan; the convergence check
     (changed-label count) is a driver-side scalar, not a collect."""
-    edges = pairs.select(F.col("doc_a").cast("bigint").alias("u"),
-                         F.col("doc_b").cast("bigint").alias("v"))
-    edges = edges.union(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    # materialize the one-directional pair list BEFORE the symmetric
+    # union: the union's two branches otherwise each embed the whole
+    # upstream candidate pipeline (minhash sig -> bands -> self-join),
+    # and the eager localCheckpoint runs that pipeline twice in one job
+    # (measured 41x-over-linear at 500k docs; linear after this)
+    half = pairs.select(F.col("doc_a").cast("bigint").alias("u"),
+                        F.col("doc_b").cast("bigint").alias("v")) \
+        .localCheckpoint()
+    edges = half.union(
+        half.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint()
     # seed with min(self, direct neighbors): one groupBy (replacing the
     # plain distinct() init at the same shuffle count) and clusters of
