@@ -489,34 +489,89 @@ FROM bits GROUP BY doc_id
 
 
 _SIMHASH_MAX_HAMMING = 6
-_SIMHASH_N_BANDS = _SIMHASH_MAX_HAMMING + 1   # pigeonhole: ≥1 clean band
 _SIMHASH_BAND_CAP = 1000   # max DISTINCT fingerprints per band bucket
 _SIMHASH_GROUP_CAP = 1000  # docs per identical-fp group before star fallback
 
-# Two independent 7-way partitions of the 48 fingerprint bits. The
-# pigeonhole argument holds for ANY partition into hamming_max+1 parts:
-# ≤6 differing bits leave ≥1 part untouched. Level 2 shifts every
-# boundary, so an over-cap level-1 bucket re-blocks by a genuinely
-# different key. (band, lo, bits) triples; band_val < 2^7, so level-1 has
-# at most 7·128 = 896 buckets — the ok-bucket list always broadcasts.
-_L1_SEGS = tuple((b, 7 * b, min(7, _SIMHASH_BITS - 7 * b))
-                 for b in range(_SIMHASH_N_BANDS))   # widths 7,7,7,7,7,7,6
-_L2_SEGS = tuple((b, 0 if b == 0 else 7 * b - 1,
-                  6 if b == 0 else min(7, _SIMHASH_BITS - (7 * b - 1)))
-                 for b in range(_SIMHASH_N_BANDS))   # widths 6,7,7,7,7,7,7
+# Segment-COMBINATION banding (Manku/Jain/Das Sarma, WWW'07 §3, public):
+# split the 48 bits into s = hamming_max + 3 segments and block on every
+# 3-segment concatenation. hamming ≤ 6 leaves ≥ 3 of the 9 segments clean
+# (pigeonhole), so every qualifying pair shares at least one clean
+# 3-combo — recall-lossless exactly like 1-segment bands, but the band-key
+# space grows from 2^7 to 2^15..2^18 per band. The old 7×7-bit partition
+# had ≤896 possible buckets TOTAL and saturated at web scale: at 500k docs
+# 792/832 buckets were over cap and the pair join ran 23×-over-linear
+# (BENCH r4 sf10). C(9,3) = 84 bands; explode volume 84·|fingerprints| is
+# one linear shuffle. Level 2 rotates the fingerprint by 2 bits before the
+# same combo extraction — every segment boundary moves, so an over-cap
+# level-1 bucket re-blocks by a genuinely different 9-way partition of the
+# same bits (pigeonhole holds for any partition).
+#
+# Measured (local[32], .benchdata): sf1 50k docs → 702k buckets, 5 capped,
+# 98.7M candidates, 43.1 s; sf10 500k docs → 4.06M buckets, 20 capped,
+# 1.016B candidates (10.3× — linear), 158.6 s (3.7× wall for 10× data).
+# The cost over the old saturated scheme buys the recall: the cap now
+# engages on 20 of 4M buckets instead of 95% of all buckets.
+_SIMHASH_N_SEGS = _SIMHASH_MAX_HAMMING + 3   # 9
+_SIMHASH_COMBO_K = 3
+_SIMHASH_ROT = 2                             # level-2 bit rotation
 
 
-def _seg_explode(df, segs, band_alias, val_alias, keep):
-    """Explode the ``simhash`` column of ``df`` into pigeonhole segment
-    rows (one per partition part), keeping ``keep`` columns."""
-    parts = [F.struct(
-        F.lit(b).cast("int").alias(band_alias),
-        F.shiftright(F.col("simhash"), lo)
-         .bitwiseAND(F.lit((1 << bits) - 1)).alias(val_alias))
-        for b, lo, bits in segs]
-    return (df.select(*keep, F.explode(F.array(*parts)).alias("seg"))
-            .select(*keep, F.col(f"seg.{band_alias}").alias(band_alias),
-                    F.col(f"seg.{val_alias}").alias(val_alias)))
+def _seg_ranges(bits: int, n: int):
+    """n contiguous (lo, width) ranges covering ``bits`` bits."""
+    base, extra = divmod(bits, n)
+    out, lo = [], 0
+    for i in range(n):
+        w = base + (1 if i < extra else 0)
+        out.append((lo, w))
+        lo += w
+    return tuple(out)
+
+
+_SIMHASH_SEG_RANGES = _seg_ranges(_SIMHASH_BITS, _SIMHASH_N_SEGS)
+
+# one row per band: (band, pl1, ps1, pl2, ps2, pl3, ps3) where segment j of
+# fingerprint h is (h DIV pl) % ps — pure bigint arithmetic, so the
+# extraction expression is IDENTICAL in Spark SQL and DuckDB (no engine-
+# specific shift builtins, no sign-extension differences)
+from itertools import combinations as _combinations  # noqa: E402
+
+_COMBO_ROWS = tuple(
+    (band,) + tuple(x for s in combo
+                    for x in (1 << _SIMHASH_SEG_RANGES[s][0],
+                              1 << _SIMHASH_SEG_RANGES[s][1]))
+    for band, combo in enumerate(
+        _combinations(range(_SIMHASH_N_SEGS), _SIMHASH_COMBO_K)))
+
+_COMBO_SCHEMA = ("band int, pl1 bigint, ps1 bigint, pl2 bigint, "
+                 "ps2 bigint, pl3 bigint, ps3 bigint")
+
+# band_val = seg1 · ps2·ps3 + seg2 · ps3 + seg3  (concatenated segments)
+_COMBO_VAL_EXPR = ("(((_bh DIV pl1) % ps1) * ps2 * ps3"
+                   " + ((_bh DIV pl2) % ps2) * ps3"
+                   " + ((_bh DIV pl3) % ps3))")
+
+
+def _rot_expr(col: str, rot: int) -> str:
+    """Left-rotate a non-negative ``_SIMHASH_BITS``-bit value by ``rot``
+    bits, in arithmetic shared verbatim by Spark SQL and DuckDB."""
+    if rot == 0:
+        return col
+    space = 1 << _SIMHASH_BITS
+    return (f"(({col} * {1 << rot}) % {space}"
+            f" + ({col} DIV {1 << (_SIMHASH_BITS - rot)}))")
+
+
+def _seg_explode(spark, df, band_alias, val_alias, keep, rot=0):
+    """Explode the ``simhash`` column of ``df`` into one row per
+    3-segment-combo band key (84 rows per fingerprint), keeping ``keep``
+    columns. ``rot`` pre-rotates the fingerprint (level-2 re-block)."""
+    combos = F.broadcast(spark.createDataFrame(list(_COMBO_ROWS),
+                                               _COMBO_SCHEMA))
+    return (df.withColumn("_bh", F.expr(_rot_expr("simhash", rot)))
+            .crossJoin(combos)
+            .withColumn(val_alias, F.expr(_COMBO_VAL_EXPR))
+            .select(*keep, F.col("band").alias(band_alias),
+                    F.col(val_alias).cast("bigint").alias(val_alias)))
 
 
 def dedup_simhash_pairs(spark, sf_dir,
@@ -579,42 +634,58 @@ def dedup_simhash_pairs(spark, sf_dir,
         h0 = h0.union(star)
     h0 = h0.withColumn("hamming", F.lit(0).cast("bigint"))
 
-    b1 = _seg_explode(cnt, _L1_SEGS, "band", "band_val", ["simhash"])
+    b1 = _seg_explode(spark, cnt, "band", "band_val", ["simhash"])
     if band_cap is not None:
         s1 = b1.groupBy("band", "band_val").agg(F.count("*").alias("bn"))
-        ok1 = (s1.filter(F.col("bn") <= band_cap)
-               .select("band", "band_val"))  # ≤896 rows by construction
-        small1 = b1.join(F.broadcast(ok1), ["band", "band_val"], "left_semi")
-        big1 = b1.join(F.broadcast(ok1), ["band", "band_val"], "left_anti")
+        # the OVER-cap bucket list is what's tiny now (≤ 84·|fp|/cap rows);
+        # the ok list is ~every non-empty bucket and must not broadcast
+        over1 = s1.filter(F.col("bn") > band_cap).select("band", "band_val")
+        small1 = b1.join(F.broadcast(over1), ["band", "band_val"],
+                         "left_anti")
+        big1 = b1.join(F.broadcast(over1), ["band", "band_val"],
+                       "left_semi")
     else:
         small1, big1 = b1, None
 
     def _self_join(df, keys):
+        # per-bucket pair expansion + the hamming gate INSIDE the join
+        # stage: random band-key collisions almost never survive
+        # hamming ≤ 6 of 48, so the distinct() downstream shuffles only
+        # true pairs (× ≤84 band repeats), not the raw candidate volume
         a, b = df.alias("a"), df.alias("b")
         cond = F.col("a.simhash") < F.col("b.simhash")
         for k in keys:
             cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
-        return a.join(b, cond).select(F.col("a.simhash").alias("sa"),
-                                      F.col("b.simhash").alias("sb"))
+        return (a.join(b, cond)
+                .select(F.col("a.simhash").alias("sa"),
+                        F.col("b.simhash").alias("sb"))
+                .filter(F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+                        <= _SIMHASH_MAX_HAMMING))
 
     cand = _self_join(small1, ["band", "band_val"])
     if big1 is not None:
-        b2 = _seg_explode(big1, _L2_SEGS, "band2", "band2_val",
-                          ["simhash", "band", "band_val"])
+        b2 = _seg_explode(spark, big1.select("simhash", "band", "band_val")
+                          .withColumnRenamed("band", "band1")
+                          .withColumnRenamed("band_val", "band1_val"),
+                          "band2", "band2_val",
+                          ["simhash", "band1", "band1_val"],
+                          rot=_SIMHASH_ROT)
+        b2 = (b2.withColumnRenamed("band1", "band")
+              .withColumnRenamed("band1_val", "band_val"))
         s2 = (b2.groupBy("band", "band_val", "band2", "band2_val")
               .agg(F.count("*").alias("bn")))
-        ok2 = (s2.filter(F.col("bn") <= band_cap)
-               .select("band", "band_val", "band2", "band2_val"))
-        small2 = b2.join(ok2, ["band", "band_val", "band2", "band2_val"],
-                         "left_semi")
+        over2 = (s2.filter(F.col("bn") > band_cap)
+                 .select("band", "band_val", "band2", "band2_val"))
+        small2 = b2.join(F.broadcast(over2),
+                         ["band", "band_val", "band2", "band2_val"],
+                         "left_anti")
         cand = cand.union(
             _self_join(small2, ["band", "band_val", "band2", "band2_val"]))
 
     rp = (cand.distinct()
           .withColumn("hamming",
                       F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
-                      .cast("bigint"))
-          .filter(F.col("hamming") <= _SIMHASH_MAX_HAMMING))
+                      .cast("bigint")))
     cross = (rp.join(mem.select(F.col("simhash").alias("sa"),
                                 F.col("doc_id").alias("da")), "sa")
              .join(mem.select(F.col("simhash").alias("sb"),
@@ -636,8 +707,23 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_MAX_HAMMING}
 """
 
 
-def _seg_values(segs) -> str:
-    return ", ".join(f"({b}, {lo}, {bits})" for b, lo, bits in segs)
+def _combo_values() -> str:
+    return ", ".join("(" + ", ".join(str(x) for x in row) + ")"
+                     for row in _COMBO_ROWS)
+
+
+def _sql_band_val(h: str) -> str:
+    """DuckDB mirror of ``_COMBO_VAL_EXPR`` (``//`` == Spark's ``DIV`` on
+    non-negative bigints)."""
+    return (f"((({h} // s.pl1) % s.ps1) * s.ps2 * s.ps3"
+            f" + (({h} // s.pl2) % s.ps2) * s.ps3"
+            f" + (({h} // s.pl3) % s.ps3))")
+
+
+def _sql_rot(h: str) -> str:
+    space = 1 << _SIMHASH_BITS
+    return (f"(({h} * {1 << _SIMHASH_ROT}) % {space}"
+            f" + ({h} // {1 << (_SIMHASH_BITS - _SIMHASH_ROT)}))")
 
 
 def simhash_pairs_sql(band_cap: int | None = _SIMHASH_BAND_CAP,
@@ -669,24 +755,23 @@ cnt AS (
   SELECT simhash, doc_id FROM okmem
   UNION ALL
   SELECT simhash, rep AS doc_id FROM cnt WHERE n > {gc}
-), seg1 AS (
-  SELECT * FROM (VALUES {_seg_values(_L1_SEGS)}) t(band, lo, bits)
+), combos AS (
+  SELECT * FROM (VALUES {_combo_values()})
+  t(band, pl1, ps1, pl2, ps2, pl3, ps3)
 ), b1 AS (
-  SELECT c.simhash, s.band,
-         (c.simhash >> s.lo) & ((1::BIGINT << s.bits) - 1) AS band_val
-  FROM cnt c CROSS JOIN seg1 s
+  SELECT c.simhash, s.band, {_sql_band_val('c.simhash')} AS band_val
+  FROM cnt c CROSS JOIN combos s
 ), s1 AS (
   SELECT band, band_val, count(*)::BIGINT AS bn FROM b1 GROUP BY 1, 2
 ), small1 AS (
   SELECT b1.* FROM b1 JOIN s1 USING (band, band_val) WHERE s1.bn <= {bc}
 ), big1 AS (
   SELECT b1.* FROM b1 JOIN s1 USING (band, band_val) WHERE s1.bn > {bc}
-), seg2 AS (
-  SELECT * FROM (VALUES {_seg_values(_L2_SEGS)}) t(band2, lo2, bits2)
 ), b2 AS (
-  SELECT g.simhash, g.band, g.band_val, s.band2,
-         (g.simhash >> s.lo2) & ((1::BIGINT << s.bits2) - 1) AS band2_val
-  FROM big1 g CROSS JOIN seg2 s
+  SELECT g.simhash, g.band, g.band_val, s.band AS band2,
+         {_sql_band_val('g.rh')} AS band2_val
+  FROM (SELECT big1.*, {_sql_rot('simhash')} AS rh FROM big1) g
+  CROSS JOIN combos s
 ), s2 AS (
   SELECT band, band_val, band2, band2_val, count(*)::BIGINT AS bn
   FROM b2 GROUP BY 1, 2, 3, 4
@@ -729,7 +814,7 @@ def dedup_simhash_band_stats(spark, sf_dir):
     counts how many buckets fall through to the level-2 re-block."""
     fp = dedup_simhash(spark, sf_dir)
     cnt = fp.groupBy("simhash").agg(F.count("*").alias("gn"))
-    sizes = (_seg_explode(cnt, _L1_SEGS, "band", "band_val", ["simhash"])
+    sizes = (_seg_explode(spark, cnt, "band", "band_val", ["simhash"])
              .groupBy("band", "band_val").agg(F.count("*").alias("n")))
     return sizes.agg(
         F.count("*").cast("bigint").alias("n_buckets"),
@@ -743,11 +828,11 @@ def dedup_simhash_band_stats(spark, sf_dir):
 SIMHASH_BAND_STATS_SQL = f"""
 WITH fp AS ({SIMHASH_SQL}),
 cnt AS (SELECT simhash FROM fp GROUP BY simhash),
-seg1 AS (SELECT * FROM (VALUES {_seg_values(_L1_SEGS)}) t(band, lo, bits)),
+combos AS (SELECT * FROM (VALUES {_combo_values()})
+           t(band, pl1, ps1, pl2, ps2, pl3, ps3)),
 bands AS (
-  SELECT c.simhash, s.band,
-         (c.simhash >> s.lo) & ((1::BIGINT << s.bits) - 1) AS band_val
-  FROM cnt c CROSS JOIN seg1 s
+  SELECT c.simhash, s.band, {_sql_band_val('c.simhash')} AS band_val
+  FROM cnt c CROSS JOIN combos s
 ), sizes AS (
   SELECT band, band_val, count(*)::BIGINT AS n FROM bands GROUP BY 1, 2
 )
@@ -828,6 +913,12 @@ QUALIFY row_number() OVER (
 
 _CC_MAX_ITERS = 25
 
+# scale telemetry for the last _cc_labels call (read by bench.py's sf10
+# section): propagation passes = realized graph diameter bound, edge count
+# = the linear-vs-data witness. A dict mutated in place, not returned,
+# so the query callable keeps the uniform (spark, sf_dir) -> DataFrame shape.
+CC_STATS: dict = {"passes": None, "edges": None}
+
 
 def _cc_labels(pairs):
     """(node, label) for every node in ``pairs`` — label = the minimum
@@ -865,8 +956,9 @@ def _cc_labels(pairs):
     # labels are monotonically non-increasing, so the label sum is a
     # fixpoint witness: unchanged sum == no label moved (cheaper than a
     # join-and-count convergence probe — one agg scalar per pass)
+    CC_STATS["edges"] = half.count()
     prev_sum = labels.agg(F.sum("label")).first()[0]
-    for _ in range(_CC_MAX_ITERS):
+    for n_pass in range(_CC_MAX_ITERS):
         nb = (edges.join(labels.select(F.col("node").alias("v"),
                                        F.col("label").alias("v_label")), "v")
               .groupBy("u").agg(F.min("v_label").alias("nb_min")))
@@ -879,6 +971,7 @@ def _cc_labels(pairs):
                   .localCheckpoint())
         new_sum = labels.agg(F.sum("label")).first()[0]
         if new_sum == prev_sum:
+            CC_STATS["passes"] = n_pass + 1
             return labels
         prev_sum = new_sum
     raise RuntimeError(
