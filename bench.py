@@ -78,11 +78,13 @@ BENCH_QUERIES = [
     "extract_chunks",
 ]
 
-# sf10 (100x sf0.1, 500k docs): the dedup + curation families — the suite's
-# top cost and the tier whose growth curve past sf1 VERDICT r3 flagged as
-# unmeasured. Everything else is map-only or TakeOrdered shapes already
-# proven sublinear by the sf1 tier.
+# sf10 (100x sf0.1, 500k docs): the headline extraction job plus the
+# dedup + curation families — the suite's top cost and the tier whose
+# growth curve past sf1 VERDICT r3 flagged as unmeasured. Everything else
+# is map-only or TakeOrdered shapes already proven sublinear by the sf1
+# tier.
 SF10_QUERIES = [
+    "extract_chunks",
     "dedup_exact",
     "dedup_minhash_sig",
     "dedup_minhash_pairs",
@@ -208,6 +210,8 @@ def main() -> int:
         out["sf10"] = {
             "value": round(sum(t_sf10.values()), 2),
             "n_docs": n10,
+            "docs_per_sec": (round(n10 / t_sf10["extract_chunks"], 2)
+                             if t_sf10.get("extract_chunks") else None),
             "scale_vs_sf1_same_queries": (round(
                 sum(t_sf10.values()) / fam_sf1, 2) if fam_sf1 else None),
             "cc_passes": dd.CC_STATS["passes"],
