@@ -10,8 +10,15 @@ decode support is tiered, per the build contract:
     ``/Predictor`` path in extract_pdf.py:83), 8-bit gray / RGB /
     palette / gray+alpha / RGBA, integer-luma grayscale reduction.
     Interlaced (Adam7) and sub-8-bit depths are explicit error rows;
-  * remaining real formats (JPEG/WAV magic bytes) raise
-    ``NotImplementedError`` inside the per-row try (surfaced as
+  * **baseline JPEG decodes for real** too: a from-scratch fixed-point
+    codec (``operators/jpeg.py``) — generic DHT/DQT parsing, gray /
+    4:4:4 / 4:2:0, DRI+RSTn restarts, integer IDCT, same grayscale-luma
+    contract as PNG. Progressive/arithmetic/12-bit JPEG are explicit
+    error rows;
+  * **WAV (RIFF PCM) decodes for real**: chunk walk, 8/16-bit PCM,
+    integer mono mixdown to the same (sample_rate, samples) contract as
+    the fake audio container. Non-PCM WAV and other RIFF payloads (AVI)
+    raise ``NotImplementedError`` inside the per-row try (surfaced as
     ``status='error'`` rows — the same fail-soft error tier as corrupt
     PDFs, core/indexer.py:114-116);
   * a deterministic FAKE container format exercises the full pipeline:
@@ -42,9 +49,8 @@ FAKE_IMG = b"FIMG"
 FAKE_VID = b"FVID"
 FAKE_AUD = b"FAUD"
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
-_REAL_MAGICS = {
-    b"\xff\xd8\xff": "jpeg", b"RIFF": "wav/avi",
-}
+JPEG_SIG = b"\xff\xd8\xff"
+_MAX_WAV_SAMPLES = 256 * 1024 * 1024   # bomb bound (int16 mono ~512 MB)
 _PNG_MAX_PIXELS = 64 * 1024 * 1024   # bomb bound before any allocation
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> samples/px
 
@@ -171,18 +177,67 @@ def _decode_png(payload: bytes) -> dict:
             "pix": gray.astype(np.uint8).reshape(-1)}
 
 
+def _decode_wav(payload: bytes) -> dict:
+    """RIFF/WAVE PCM decode (stdlib struct only): fmt + data chunk walk,
+    8-bit unsigned / 16-bit signed PCM, 1-8 channels, integer mono
+    mixdown. Compressed WAV (non-PCM format tags) is refused — that
+    genuinely needs a codec library."""
+    if payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "RIFF payload is not WAVE (avi/webp need a codec library not "
+            "present in this environment)")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        if pos + 8 + clen > len(payload):
+            raise ValueError("truncated wav chunk")
+        if cid == b"fmt ":
+            if clen < 16:
+                raise ValueError("malformed wav fmt chunk")
+            fmt = struct.unpack_from("<HHIIHH", payload, pos + 8)
+        elif cid == b"data":
+            data = payload[pos + 8:pos + 8 + clen]
+        pos += 8 + clen + (clen & 1)           # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("wav missing fmt or data chunk")
+    tag, n_ch, rate, _, _, bits = fmt
+    if tag != 1:
+        raise NotImplementedError(
+            f"non-PCM wav (format tag {tag}) needs a codec library")
+    if rate == 0 or not 1 <= n_ch <= 8:
+        raise ValueError("wav with invalid sample rate / channel count")
+    if bits == 16:
+        frames = np.frombuffer(
+            data[:len(data) - len(data) % (2 * n_ch)], "<i2").astype(
+            np.int32)
+    elif bits == 8:                            # unsigned 8-bit -> centered
+        frames = (np.frombuffer(
+            data[:len(data) - len(data) % n_ch], np.uint8).astype(np.int32)
+            - 128) * 256
+    else:
+        raise ValueError(f"wav bit depth {bits} unsupported")
+    if frames.size > _MAX_WAV_SAMPLES:
+        raise ValueError("wav exceeds the sample cap")
+    mono = frames.reshape(-1, n_ch).sum(axis=1) // n_ch  # integer mixdown
+    return {"media_type": "audio", "sample_rate": int(rate),
+            "samples": mono.astype(np.int16)}
+
+
 def _decode_one(payload: bytes) -> dict:
-    """Decode PNG (real) or the fake container; refuse other real codecs
-    explicitly."""
+    """Decode PNG / baseline JPEG / PCM WAV (real codecs) or the fake
+    container; refuse other real formats explicitly."""
     if payload.startswith(PNG_SIG[:4]):
         if not payload.startswith(PNG_SIG) or len(payload) < 33:
             raise ValueError("truncated png signature/header")
         return _decode_png(payload)
-    for magic, name in _REAL_MAGICS.items():
-        if payload.startswith(magic):
-            raise NotImplementedError(
-                f"real {name} decode requires a codec library not present "
-                "in this environment")
+    if payload.startswith(JPEG_SIG):
+        from docling_rag_spark.operators.jpeg import decode_jpeg
+        return decode_jpeg(payload)
+    if payload.startswith(b"RIFF") and len(payload) >= 12:
+        return _decode_wav(payload)
     kind = payload[:4]
     if kind == FAKE_IMG:
         w, h = struct.unpack_from("<II", payload, 4)
@@ -360,6 +415,41 @@ def build_fake_audio(sample_rate: int, n_samples: int, seed: int = 0) -> bytes:
     rng = np.random.default_rng(seed)
     return FAKE_AUD + struct.pack("<I", sample_rate) + rng.integers(
         -2000, 2000, n_samples, dtype=np.int16).tobytes()
+
+
+def build_jpeg(w: int, h: int, seed: int = 0, color: bool = True,
+               subsample: str = "444", restart_interval: int = 0) -> bytes:
+    """REAL baseline JPEG bytes (deterministic smooth-gradient pixels —
+    JPEG is lossy, so fixtures use low-frequency content the codec
+    round-trips within its quant error)."""
+    from docling_rag_spark.operators.jpeg import encode_jpeg
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = 128 + 9 * ((yy + seed) % 13) - 7 * ((xx + 2 * seed) % 11)
+    if color:
+        pix = np.stack([np.clip(base + 17 * c, 0, 255)
+                        for c in range(3)], axis=-1).astype(np.uint8)
+    else:
+        pix = np.clip(base, 0, 255).astype(np.uint8)
+    return encode_jpeg(pix, subsample=subsample,
+                       restart_interval=restart_interval)
+
+
+def build_wav(sample_rate: int, n_samples: int, seed: int = 0,
+              n_channels: int = 1, bits: int = 16) -> bytes:
+    """REAL RIFF/WAVE PCM bytes (deterministic samples)."""
+    rng = np.random.default_rng(seed)
+    if bits == 16:
+        data = rng.integers(-2000, 2000, n_samples * n_channels,
+                            dtype=np.int16).astype("<i2").tobytes()
+    else:
+        data = rng.integers(0, 256, n_samples * n_channels,
+                            dtype=np.uint8).tobytes()
+    block = n_channels * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, n_channels, sample_rate,
+                      sample_rate * block, block, bits)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def _png_chunk(ctype: bytes, data: bytes) -> bytes:

@@ -344,13 +344,14 @@ def _fake_media(spark, sf_dir):
     import pandas as pd
 
     from docling_rag_spark.operators.multimodal import (
-        build_fake_audio, build_fake_image, build_fake_video, build_png)
+        build_fake_audio, build_fake_image, build_fake_video, build_jpeg,
+        build_png, build_wav)
 
     def make_payloads(batches):
         for pdf in batches:
             payloads = []
             for did in pdf["doc_id"]:
-                kind = did % 4
+                kind = did % 6
                 if kind == 0:
                     payloads.append(build_fake_image(16, 16, seed=int(did)))
                 elif kind == 1:
@@ -358,13 +359,27 @@ def _fake_media(spark, sf_dir):
                 elif kind == 2:
                     payloads.append(build_fake_audio(8000, 4000,
                                                      seed=int(did)))
-                else:
+                elif kind == 3:
                     # REAL PNG payloads, rotating color and filter types so
                     # the golden pins the whole decode matrix
                     payloads.append(build_png(
                         12, 9, seed=int(did),
-                        color_type=(0, 2, 4, 6)[(int(did) // 4) % 4],
-                        filter_type=(int(did) // 16) % 5))
+                        color_type=(0, 2, 4, 6)[(int(did) // 6) % 4],
+                        filter_type=(int(did) // 24) % 5))
+                elif kind == 4:
+                    # REAL baseline JPEG, rotating gray/444/420 and the
+                    # restart-marker path
+                    payloads.append(build_jpeg(
+                        19, 14, seed=int(did),
+                        color=(int(did) // 6) % 3 != 0,
+                        subsample=("444", "420")[(int(did) // 6) % 2],
+                        restart_interval=(0, 2)[(int(did) // 12) % 2]))
+                else:
+                    # REAL RIFF/WAVE PCM, rotating channels and bit depth
+                    payloads.append(build_wav(
+                        8000, 3000, seed=int(did),
+                        n_channels=1 + (int(did) // 6) % 2,
+                        bits=(16, 8)[(int(did) // 12) % 2]))
             yield pd.DataFrame({
                 "url": ["media://" + str(d) for d in pdf["doc_id"]],
                 "payload": payloads})

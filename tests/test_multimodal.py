@@ -26,7 +26,8 @@ def media(spark):
         ("m://vid1", build_fake_video(25, seed=3)),
         ("m://vid2", build_fake_video(3, seed=4)),
         ("m://aud1", build_fake_audio(16000, 32000, seed=5)),
-        ("m://real.jpg", b"\xff\xd8\xff\xe0junk"),   # real codec → stubbed
+        ("m://real.jpg", b"\xff\xd8\xff\xe0junk"),   # corrupt jpeg → error row
+        ("m://real.avi", b"RIFF\x10\x00\x00\x00AVI LIST"),  # codec → stubbed
         ("m://junk", b"not-a-container"),
     ]
     return spark.createDataFrame(rows, "url string, payload binary").coalesce(2)
@@ -44,10 +45,12 @@ def test_describe_media(spark, media):
     assert abs(float(np.linalg.norm(f)) - 1.0) < 1e-5
     again = {r["url"]: r for r in describe_media(media).collect()}
     assert rows["m://img2"]["feature"] == again["m://img2"]["feature"]
-    # real codec + junk → fail-soft error rows, batch continues
+    # corrupt real payloads + junk → fail-soft error rows, batch continues
     assert rows["m://real.jpg"]["status"] == "error"
     assert "NotImplemented" not in (rows["m://real.jpg"]["error"] or "")
-    assert "codec" in rows["m://real.jpg"]["error"]
+    # unsupported real containers (AVI) are an explicit codec refusal
+    assert rows["m://real.avi"]["status"] == "error"
+    assert "codec" in rows["m://real.avi"]["error"]
     assert rows["m://junk"]["status"] == "error"
     assert sum(1 for r in rows.values() if r["status"] == "ok") == 5
 
