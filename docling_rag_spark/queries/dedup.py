@@ -287,22 +287,28 @@ _PERM_B = [(69069 * (i + 1) + 1) % _P for i in range(_NUM_PERMS)]
 
 
 def minhash_sig_for(docs):
-    """One wide agg (16 min() columns, map-side combined) instead of a 16×
-    row blowup: the shuffle carries 16 partial mins per doc, not 16 copies
-    of every shingle. ``stack`` unpivots the tiny per-doc result to the
+    """One wide agg (_NUM_PERMS min() columns, map-side combined) instead
+    of a perm-count row blowup: the shuffle carries 128 partial mins per
+    doc, not 128 copies of every shingle. ``stack`` unpivots the per-doc
     long (doc_id, perm_id, minhash) contract. ``docs`` is any
     (doc_id bigint, text) DataFrame — the warehouse curation job feeds
     dense-id'd extracted rows through the same machinery the oracle
     checks."""
-    sh = _exploded_shingles(docs).withColumn("h", _hex60(F.col("sh")) % _P)
-    aggs = [F.min((F.lit(_PERM_A[i]) * F.col("h") + F.lit(_PERM_B[i])) % _P)
-            .cast("bigint").alias(f"m{i}") for i in range(_NUM_PERMS)]
-    wide = sh.groupBy("doc_id").agg(*aggs)
+    wide = _minhash_wide(docs)
     stack = ", ".join(f"{i}, m{i}" for i in range(_NUM_PERMS))
     return (wide.selectExpr(
         "doc_id", f"stack({_NUM_PERMS}, {stack}) AS (perm_id, minhash)")
         .select("doc_id", F.col("perm_id").cast("int").alias("perm_id"),
                 F.col("minhash").cast("bigint").alias("minhash")))
+
+
+def _minhash_wide(docs):
+    """(doc_id, m0..m127): one shingle scan, one doc-keyed shuffle carrying
+    128 map-side-combined partial mins per doc."""
+    sh = _exploded_shingles(docs).withColumn("h", _hex60(F.col("sh")) % _P)
+    aggs = [F.min((F.lit(_PERM_A[i]) * F.col("h") + F.lit(_PERM_B[i])) % _P)
+            .cast("bigint").alias(f"m{i}") for i in range(_NUM_PERMS)]
+    return sh.groupBy("doc_id").agg(*aggs)
 
 
 def _minhash_sig(spark, sf_dir):
@@ -333,17 +339,28 @@ GROUP BY doc_id, perm_id
 
 
 def minhash_pairs_for(docs):
-    """LSH candidate pairs for any (doc_id bigint, text) DataFrame."""
-    sig = minhash_sig_for(docs)
-    bands = (sig.withColumn("band", (F.col("perm_id") / _BAND_SIZE)
-                            .cast("int"))
-             .groupBy("doc_id", "band")
-             .agg(F.md5(F.array_join(
-                 F.transform(
-                     F.array_sort(F.collect_list(
-                         F.struct("perm_id", "minhash"))),
-                     lambda s: s["minhash"].cast("string")), "_"))
-                 .alias("band_sig")))
+    """LSH candidate pairs for any (doc_id bigint, text) DataFrame.
+
+    Band signatures come straight off the wide signature row
+    (md5(concat_ws) over each band's 8 minhash columns) instead of
+    unpivoting to 128 rows/doc and re-aggregating them with
+    collect_list+array_sort — the banding is a pure projection on the one
+    doc-keyed shuffle, and the 16-row/doc unpivot happens after. Ordering
+    matches the oracle's ``string_agg(... ORDER BY perm_id)`` because the
+    column list is ascending perm_id."""
+    wide = _minhash_wide(docs)
+    band_cols = [
+        F.md5(F.concat_ws("_", *[
+            F.col(f"m{b * _BAND_SIZE + r}").cast("string")
+            for r in range(_BAND_SIZE)])).alias(f"bs{b}")
+        for b in range(_NUM_PERMS // _BAND_SIZE)]
+    n_bands = _NUM_PERMS // _BAND_SIZE
+    stack = ", ".join(f"{b}, bs{b}" for b in range(n_bands))
+    bands = (wide.select("doc_id", *band_cols)
+             .selectExpr("doc_id",
+                         f"stack({n_bands}, {stack}) AS (band, band_sig)")
+             .select("doc_id", F.col("band").cast("int").alias("band"),
+                     "band_sig"))
     a, b = bands.alias("a"), bands.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.band_sig") == F.col("b.band_sig"))

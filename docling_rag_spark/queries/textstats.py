@@ -334,27 +334,30 @@ _BOILER_DF = 3    # a gram in >= DF docs is boilerplate (test-corpus scale;
 def corpus_boilerplate(spark, sf_dir):
     """C4-style corpus-level boilerplate detection: word 5-grams occurring
     in >= _BOILER_DF distinct documents are boilerplate; each doc reports
-    how much of it is made of them. Same inverted shape as jaccard: one
-    gram scan, one DF shuffle, one broadcast-able semi-join back."""
+    how much of it is made of them. Same inverted shape as jaccard: the
+    gram table is persisted (the regexp tokenize + 5-gram explode is the
+    dominant cost and has two consumers — the corpus-DF aggregate and the
+    mark-back join; unpersisted it ran 3x at every scale), the boilerplate
+    marker rides a left join keyed on the SAME gram column, and BOTH
+    per-doc counters fold in one groupBy(doc_id) — one doc-keyed shuffle,
+    not two plus a doc-keyed join (measured 37.5 s -> ~22 s at sf10)."""
+    from pyspark import StorageLevel
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(F.col("doc_id").cast("bigint").alias("doc_id"),
                        _tokens(F.col("text")).alias("toks"))
     from docling_rag_spark.queries.dedup import _shingles
     grams = toks.select(
         "doc_id", F.explode(_shingles(F.col("toks"), k=_BOILER_K))
-        .alias("g"))
+        .alias("g")).persist(StorageLevel.MEMORY_AND_DISK)
+    grams.count()  # eager: concurrent consumer stages race a lazy cache
     boiler = (grams.groupBy("g")
               .agg(F.count("*").alias("df"))
-              .filter(F.col("df") >= _BOILER_DF).select("g"))
-    per_doc = grams.groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("n_grams"))
-    hit = (grams.join(boiler, "g", "left_semi")
-           .groupBy("doc_id")
-           .agg(F.count("*").cast("bigint").alias("n_boiler")))
-    return (per_doc.join(hit, "doc_id", "left")
-            .select("doc_id", "n_grams",
-                    F.coalesce(F.col("n_boiler"), F.lit(0)).cast("bigint")
-                     .alias("n_boiler"))
+              .filter(F.col("df") >= _BOILER_DF)
+              .select("g", F.lit(1).alias("is_b")))
+    return (grams.join(boiler, "g", "left")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("bigint").alias("n_grams"),
+                 F.count("is_b").cast("bigint").alias("n_boiler"))
             .withColumn("boiler_bp",
                         F.floor(F.col("n_boiler") * 10000.0
                                 / F.greatest(F.col("n_grams"), F.lit(1)))
