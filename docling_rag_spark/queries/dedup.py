@@ -338,8 +338,9 @@ GROUP BY doc_id, perm_id
 """
 
 
-def minhash_pairs_for(docs):
-    """LSH candidate pairs for any (doc_id bigint, text) DataFrame.
+def band_sigs_for(docs):
+    """(doc_id, band, band_sig) LSH band signatures for any
+    (doc_id bigint, text) DataFrame.
 
     Band signatures come straight off the wide signature row
     (md5(concat_ws) over each band's 8 minhash columns) instead of
@@ -356,11 +357,16 @@ def minhash_pairs_for(docs):
         for b in range(_NUM_PERMS // _BAND_SIZE)]
     n_bands = _NUM_PERMS // _BAND_SIZE
     stack = ", ".join(f"{b}, bs{b}" for b in range(n_bands))
-    bands = (wide.select("doc_id", *band_cols)
-             .selectExpr("doc_id",
-                         f"stack({n_bands}, {stack}) AS (band, band_sig)")
-             .select("doc_id", F.col("band").cast("int").alias("band"),
-                     "band_sig"))
+    return (wide.select("doc_id", *band_cols)
+            .selectExpr("doc_id",
+                        f"stack({n_bands}, {stack}) AS (band, band_sig)")
+            .select("doc_id", F.col("band").cast("int").alias("band"),
+                    "band_sig"))
+
+
+def minhash_pairs_for(docs):
+    """LSH candidate pairs for any (doc_id bigint, text) DataFrame."""
+    bands = band_sigs_for(docs)
     a, b = bands.alias("a"), bands.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.band_sig") == F.col("b.band_sig"))
@@ -1041,6 +1047,30 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
 """
 
 
+def _dedup_incremental_pairs(spark, sf_dir):
+    from docling_rag_spark.plans.dedup_index import dedup_incremental_pairs
+    return dedup_incremental_pairs(spark, sf_dir)
+
+
+# batch pairs restricted to pairs touching the md5-bucket>=90 delta slice —
+# the incremental path must reproduce these EXACTLY from the materialized
+# index + the delta alone (see plans/dedup_index.py)
+DEDUP_INCREMENTAL_SQL = f"""
+WITH pairs AS ({MINHASH_PAIRS_SQL}),
+bk AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         ('0x' || substr(md5((doc_id::BIGINT)::VARCHAR), 1, 15))::BIGINT
+           % 100 AS bk
+  FROM documents
+)
+SELECT p.doc_a, p.doc_b, p.n_shared_bands
+FROM pairs p
+JOIN bk a ON a.doc_id = p.doc_a
+JOIN bk b ON b.doc_id = p.doc_b
+WHERE a.bk >= 90 OR b.bk >= 90
+"""
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_keep_first": (dedup_keep_first, DEDUP_KEEP_FIRST_SQL),
@@ -1069,4 +1099,9 @@ DIAGNOSTICS = {
     # 50-entry driver window) but is oracle-verified by the local parity
     # suite against an independent recursive-CTE closure
     "dedup_components": (dedup_components, DEDUP_COMPONENTS_SQL),
+    # incremental band-index path (plans/dedup_index.py): the 10% delta
+    # slice joins the materialized index of the other 90%; twin recomputes
+    # batch pairs and restricts to pairs touching the delta
+    "dedup_incremental_pairs": (_dedup_incremental_pairs,
+                                DEDUP_INCREMENTAL_SQL),
 }

@@ -84,8 +84,18 @@ def wait_workers(n: int, timeout: float = 90.0) -> None:
     raise TimeoutError(f"{n} workers not registered after {timeout}s")
 
 
-def launch(cls: str, args: list[str], log: str, env: dict) -> subprocess.Popen:
+def launch(cls: str, args: list[str], log: str, env: dict,
+           cpus: str | None = None) -> subprocess.Popen:
     cmd = [spark_bin("spark-class"), cls, *args]
+    if cpus:
+        # CPU affinity is inherited by every child: the executor JVM a
+        # worker forks AND the python UDF workers the executor forks all
+        # stay inside the worker's core budget — the sandbox analog of a
+        # real cluster node's cgroup. Unpinned, a "2-core" worker's JVM
+        # service threads + python workers borrow idle cores from the box
+        # (measured lane_busy 2.7-3.0 CPUs), inflating the 1-executor
+        # baseline and understating N->4N scaling.
+        cmd = ["taskset", "-c", cpus] + cmd
     f = open(log, "w")
     return subprocess.Popen(cmd, stdout=f, stderr=subprocess.STDOUT, env=env)
 
@@ -134,8 +144,13 @@ def _read_stat() -> tuple[int, int, int]:
 
 
 def submit_job(pages: str, out: str, n_exec: int, exec_cores: int,
-               exec_mem: str, pyzip: str, tmp: str) -> dict:
+               exec_mem: str, pyzip: str, tmp: str,
+               driver_cpus: str | None = None) -> dict:
     cmd = submit_cmd(pages, out, n_exec, exec_cores, exec_mem, pyzip)
+    if driver_cpus:
+        # the driver gets the SAME fixed core budget in both lanes, so
+        # driver-side serial work cancels out of the ratio
+        cmd = ["taskset", "-c", driver_cpus] + cmd
     env = submit_env(tmp)
     # DURING-lane contention telemetry: a CPU probe run BEFORE a trial
     # cannot see a co-tenant burst that lands mid-trial (measured: probe
@@ -184,6 +199,13 @@ def main() -> int:
                     metavar=("N", "4N"))
     ap.add_argument("--executor-cores", type=int, default=2)
     ap.add_argument("--executor-mem", default="4g")
+    ap.add_argument("--pin", action="store_true",
+                    help="taskset each worker JVM (and so its executor + "
+                         "python UDF children) to a disjoint "
+                         "executor-cores-sized CPU set, and the driver to "
+                         "a fixed 4-CPU set shared by both lanes — the "
+                         "sandbox analog of per-node cgroup limits on a "
+                         "real cluster")
     args = ap.parse_args()
 
     lo, hi = sorted(args.executors)
@@ -208,7 +230,12 @@ def main() -> int:
              "--webui-port", str(MASTER_UI_PORT)],
             os.path.join(tmp, "master.log"), env))
         wait_port(MASTER_PORT)
+        # pinned layout: workers on CPUs [4, 4+hi*cores), driver on 0-3
+        driver_cpus = "0-3" if args.pin else None
         for i in range(hi):
+            wlo = 4 + i * args.executor_cores
+            wcpus = (f"{wlo}-{wlo + args.executor_cores - 1}"
+                     if args.pin else None)
             procs.append(launch(
                 "org.apache.spark.deploy.worker.Worker",
                 ["--cores", str(args.executor_cores),
@@ -216,7 +243,7 @@ def main() -> int:
                  "--port", "0", "--webui-port", "0",
                  "--work-dir", os.path.join(tmp, f"worker{i}"),
                  f"spark://{HOST}:{MASTER_PORT}"],
-                os.path.join(tmp, f"worker{i}.log"), env))
+                os.path.join(tmp, f"worker{i}.log"), env, cpus=wcpus))
         wait_workers(hi)
 
         core_levels = [lo * args.executor_cores, hi * args.executor_cores]
@@ -268,7 +295,8 @@ def main() -> int:
             for n_exec in order:
                 out = os.path.join(tmp, f"wh_e{n_exec}_t{t}")
                 r = submit_job(pages, out, n_exec, args.executor_cores,
-                               args.executor_mem, pyzip, tmp)
+                               args.executor_mem, pyzip, tmp,
+                               driver_cpus=driver_cpus)
                 per[n_exec] = r["docs_per_sec"]
                 steal[n_exec] = r["lane_steal_cpus"]
                 trials[n_exec].append(r["docs_per_sec"])
@@ -295,7 +323,9 @@ def main() -> int:
         print(json.dumps({
             "metric": "extraction scaling efficiency (standalone cluster)",
             "mode": "spark-standalone: 1 master + "
-                    f"{hi} worker JVMs, spark-submit --py-files",
+                    f"{hi} worker JVMs, spark-submit --py-files"
+                    + (", CPU-pinned nodes" if args.pin else ""),
+            "pinned": bool(args.pin),
             "n_docs": n,
             "executor_cores": args.executor_cores,
             "executor_mem": args.executor_mem,
