@@ -57,6 +57,9 @@ class ExtractionReport:
     failure_count: int = 0
     docs_unchanged: int = 0
     batches: list[list[int]] = field(default_factory=list)
+    # per-phase wall seconds, populated when SPARK_GRAFT_DEBUG=1 (summed
+    # across batches): where a benchmark pair should look for Amdahl tails
+    phase_sec: dict = field(default_factory=dict)
 
 
 def bucket_of(url_col, num_buckets: int):
@@ -241,13 +244,19 @@ def _run_extraction_inner(
             # When buckets are too coarse for the requested parallelism, add a
             # salted secondary key: buckets split across tasks (a few files per
             # bucket) rather than capping parallelism at num_buckets.
-            # repartitionByRange (not hash-repartition): with one partition per
-            # active bucket, range boundaries land between bucket ids, so every
-            # partition gets exactly ~one whole bucket — hash partitioning on a
-            # low-cardinality key leaves ~1/e of slots empty and stacks 3-4
-            # buckets on others (stragglers in the expensive parse stage).
+            # bucket_route (not repartitionByRange, not hash-repartition):
+            # murmur3-preimage routing puts exactly one whole bucket in each
+            # shuffle partition with ZERO extra jobs — repartitionByRange
+            # pays a per-batch sampling scan of the input (pure Amdahl tail
+            # in N-vs-4N scaling; measured 1.1-2.0 s/run via event logs),
+            # and hash partitioning on a low-cardinality key leaves ~1/e of
+            # slots empty while stacking 3-4 buckets on others (stragglers
+            # in the expensive parse stage). See functions/partitioning.py.
             if len(batch) >= 2 * salt_partitions:
-                sub = sub.repartitionByRange(len(batch), F.col("bucket"))
+                from docling_rag_spark.functions.partitioning import bucket_route
+                sub = sub.repartition(
+                    len(batch),
+                    bucket_route(F.col("bucket"), batch, num_buckets))
             else:
                 sub = sub.repartition(max(len(batch), salt_partitions),
                                       F.col("bucket"),
@@ -274,6 +283,26 @@ def _run_extraction_inner(
             # filesystem probing; the same read works against object storage)
             docs_dir = os.path.join(staging, "docs")
             docs = spark.read.schema(_staged_docs_schema()).parquet(docs_dir)
+
+            # Derivation-scan split sizing: the session's maxPartitionBytes
+            # was adapted to the PAGES input (3 splits/core of html bytes,
+            # _scan_split_bytes) — applied to the larger staged docs table it
+            # yields ~10 splits/core, and the ~0.2 s fixed cost per scan task
+            # (deser + footer + codec init) then grows with the core count:
+            # event logs measured 84-task derivation stages at 8 cores doing
+            # +26 task-seconds over the same stages at 19 tasks on 2 cores —
+            # the second-largest Amdahl term in N-vs-4N scaling. Resize to
+            # ~2.5 splits/core of the STAGED bytes for the derivation reads,
+            # restored after the batch commits.
+            _cores = spark.sparkContext.defaultParallelism
+            _staged_bytes = _input_bytes(docs_dir)
+            _prev_mpb = None
+            if _staged_bytes:
+                _tgt = max(1 << 20, min(128 << 20,
+                                        _staged_bytes * 2 // (5 * _cores) or 1))
+                _prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes",
+                                           None)
+                spark.conf.set("spark.sql.files.maxPartitionBytes", str(_tgt))
 
             # The three derivations are independent reads of the staged docs
             # table; run them as CONCURRENT Spark jobs (threads share the
@@ -345,22 +374,27 @@ def _run_extraction_inner(
                  .write.partitionBy("bucket").mode("overwrite")
                  .parquet(os.path.join(staging, "extracted")))
 
-            with ThreadPoolExecutor(max_workers=3) as pool:
-                f_chunks = pool.submit(_write_chunks)
-                f_extracted = pool.submit(_write_extracted)
-                f_stats = (pool.submit(_stats) if mode != "merge" else None)
-                f_chunks.result()
-                _t2 = _time.time()
-                f_extracted.result()
-                _t3 = _time.time()
-                if f_stats is not None:
-                    stats = f_stats.result()
+            try:
+                with ThreadPoolExecutor(max_workers=3) as pool:
+                    f_chunks = pool.submit(_write_chunks)
+                    f_extracted = pool.submit(_write_extracted)
+                    f_stats = (pool.submit(_stats)
+                               if mode != "merge" else None)
+                    f_chunks.result()
+                    _t2 = _time.time()
+                    f_extracted.result()
+                    _t3 = _time.time()
+                    if f_stats is not None:
+                        stats = f_stats.result()
+            finally:
+                # next batch's PAGES scan must get its own split size back
+                # (and a failed derivation must not leak the staged sizing
+                # into the caller's session)
+                if _prev_mpb is not None:
+                    spark.conf.set("spark.sql.files.maxPartitionBytes",
+                                   _prev_mpb)
 
             _t4 = _time.time()
-            if debug:
-                print(f"[job] batch={batch_idx} udf+stage={_t1 - _t0:.1f}s "
-                      f"chunks={_t2 - _t1:.1f}s extracted={_t3 - _t2:.1f}s "
-                      f"stats={_t4 - _t3:.1f}s", file=sys.stderr)
             # Check-then-commit under the warehouse commit lock (the Iceberg
             # optimistic-concurrency validation): if a NEWER snapshot committed
             # any of these buckets while this batch was computing, completing
@@ -403,6 +437,13 @@ def _run_extraction_inner(
                         "finished_at": finished,
                     })
                 wh.append_lineage(out_dir, snapshot_id, lineage_rows)
+            if debug:
+                _t5 = _time.time()
+                for k, v in (("udf_stage", _t1 - _t0), ("chunks", _t2 - _t1),
+                             ("extracted", _t3 - _t2), ("stats", _t4 - _t3),
+                             ("commit", _t5 - _t4)):
+                    report.phase_sec[k] = round(
+                        report.phase_sec.get(k, 0.0) + v, 2)
         finally:
             # a failed batch (incl. CommitConflict) must not leak staged
             # parquet: the rerun recomputes; only committed tables survive

@@ -57,6 +57,14 @@ def get_spark(app_name: str = "docling-rag-spark",
         # the N-vs-4N scaling headroom (measured 0.55 efficiency on the
         # derivation phase at 1-vs-4 executors)
         .config("spark.sql.files.openCostInBytes", str(256 * 1024))
+        # list bucketed-table dirs on the driver's thread pool instead of
+        # launching a "listing leaf files" Spark JOB: the job variant costs
+        # a fixed 0.8-2.3 s per staged read-back of a 256-bucket table
+        # (event-log measured) — pure Amdahl tail at high parallelism. At
+        # real warehouse scale (>1024 partition dirs on object storage)
+        # listing still goes distributed.
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+                "1024")
         # task-side output renames (v2): the v1 committer renames every
         # task file on the DRIVER at job end — serial time proportional
         # to file count (256-bucket writes x3 tables), invisible at 2

@@ -80,6 +80,8 @@ def main() -> int:
         retain_snapshots=args.retain_snapshots,
     )
     elapsed = time.time() - t0
+    extra = ({"phase_sec": report.phase_sec}
+             if os.environ.get("SPARK_GRAFT_DEBUG") == "1" else {})
     print(json.dumps({
         "snapshot_id": report.snapshot_id,
         "buckets_total": report.buckets_total,
@@ -91,6 +93,7 @@ def main() -> int:
         "docs_unchanged": report.docs_unchanged,
         "elapsed_sec": round(elapsed, 2),
         "docs_per_sec": round(report.doc_count / elapsed, 2) if elapsed else None,
+        **extra,
     }))
     spark.stop()
     return 0
