@@ -16,17 +16,22 @@ Scale design (100 TB):
   scan first collapses IDENTICAL fingerprints (hamming-0 pairs come from
   within-group expansion — web corpora are template-heavy, so this is
   where most duplicate mass lives and it never touches the banded join),
-  then blocks DISTINCT fingerprints by pigeonhole banding — split the
-  48-bit fingerprint into hamming_max+1 = 7 segments; any pair within
-  hamming 6 agrees on ≥1 whole segment, so an equi-join on
-  (band, band_val) + exact hamming filter + distinct is EXACTLY the
-  brute-force result at fingerprint level, and expanding fingerprint
-  pairs through group membership is exact because hamming is a function
-  of the fingerprints alone. Over-cap band buckets are NOT dropped: they
-  re-block by a SECOND, boundary-shifted 7-way partition of the same 48
-  bits (pigeonhole holds for ANY 7-way partition), so only pairs whose
-  every clean segment lands in an over-cap bucket at BOTH levels are
-  lost. Residual caps: per-bucket cap (1000 distinct fingerprints) at
+  then blocks DISTINCT fingerprints by segment-combination banding —
+  split the 48-bit fingerprint into hamming_max+3 = 9 segments and band
+  on every 3-segment concatenation (C(9,3) = 84 bands); any pair within
+  hamming 6 leaves ≥3 segments clean, so it shares ≥1 clean combo and an
+  equi-join on (band, band_val) + exact hamming filter is EXACTLY the
+  brute-force result at fingerprint level. Each pair is emitted EXACTLY
+  ONCE — a join row survives only if its band is the pair's FIRST clean
+  combo (a 512-entry lookup on the segment-equality mask of xor(sa,sb),
+  evaluated inside the join stage) — so the pair volume never pays a
+  distinct() exchange. Expanding fingerprint pairs through group
+  membership is exact because hamming is a function of the fingerprints
+  alone. Over-cap band buckets are NOT dropped: they re-block by a
+  bit-rotated second combo extraction (pigeonhole holds for any
+  partition); a pair is lost only if its first-clean bucket is over cap
+  at level 1 AND its first-clean rotated bucket within it is over cap at
+  level 2. Residual caps: per-bucket cap (1000 distinct fingerprints) at
   both levels, group cap (1000 docs) beyond which an identical-
   fingerprint group degrades to star edges through its minimum-id
   representative (component-equivalent, linear output). The DuckDB
@@ -584,6 +589,33 @@ def _rot_expr(col: str, rot: int) -> str:
             f" + ({col} DIV {1 << (_SIMHASH_BITS - rot)}))")
 
 
+# --- exactly-once pair emission (no distinct() shuffle) ----------------------
+# A qualifying pair appears once per clean 3-combo (1..C(9,3) buckets), and
+# the clean-segment set is a pure function of xor(sa, sb) — so instead of a
+# corpus-pair-volume distinct() shuffle, each join output row keeps itself
+# iff ITS band is the pair's FIRST clean combo (a 512-entry lookup on the
+# 9-bit segment-equality mask). The filter runs inside the join stage: the
+# ~(true pairs x <=84 repeats) rows that previously fed the distinct()
+# exchange (98.7M rows / ~1.6 GB at sf1) never leave the stage at all.
+_COMBO_SEGS = tuple(_combinations(range(_SIMHASH_N_SEGS), _SIMHASH_COMBO_K))
+
+_FIRST_CLEAN = tuple(
+    next((band for band, combo in enumerate(_COMBO_SEGS)
+          if all((mask >> s) & 1 for s in combo)), -1)
+    for mask in range(1 << _SIMHASH_N_SEGS))
+
+
+def _clean_mask(x: str, div: str) -> str:
+    """9-bit segment-equality mask of an xor value ``x`` (bit j set iff
+    segment j of the two fingerprints agrees). ``div`` is the integer-
+    division operator: ``DIV`` in Spark SQL, ``//`` in DuckDB — the rest
+    of the arithmetic is shared verbatim."""
+    return "(" + " + ".join(
+        f"(CASE WHEN (({x}) {div} {1 << lo}) % {1 << w} = 0"
+        f" THEN {1 << j} ELSE 0 END)"
+        for j, (lo, w) in enumerate(_SIMHASH_SEG_RANGES)) + ")"
+
+
 def _seg_explode(spark, df, band_alias, val_alias, keep, rot=0):
     """Explode the ``simhash`` column of ``df`` into one row per
     3-segment-combo band key (84 rows per fingerprint), keeping ``keep``
@@ -609,11 +641,20 @@ def dedup_simhash_pairs(spark, sf_dir,
        share one fingerprint, so transitive closure is unchanged).
     2. Band DISTINCT fingerprints by the level-1 pigeonhole partition.
        Buckets ≤ ``band_cap`` self-join directly.
-    3. Buckets over the cap re-block by the boundary-shifted level-2
-       partition (pigeonhole holds for any 7-way split of the 48 bits);
+    3. Buckets over the cap re-block by the bit-rotated level-2 combo
+       partition (pigeonhole holds for any partition of the 48 bits);
        only level-2 buckets still over the cap are dropped.
     4. Fingerprint pairs with 1 ≤ hamming ≤ 6 expand through group
        membership — exact, because hamming is a function of fingerprints.
+
+    Pairs are emitted EXACTLY ONCE (no distinct() exchange): a join row
+    survives only if its band is the pair's first clean combo, and — at
+    level 2 — its band2 the first clean rotated combo. Cap semantics are
+    therefore first-combo-scoped: a pair is lost iff its first-clean
+    level-1 bucket is over cap AND the first-clean level-2 bucket inside
+    it is over cap (marginally tighter than the any-clean-bucket rule the
+    distinct() version had; ``dedup_simhash_recall`` measures the
+    realized cost and the pytest floor pins it).
 
     With both caps ``None`` the result is EXACTLY brute force
     (``tests/test_dedup_ops.py`` pins the equivalence against the
@@ -670,20 +711,36 @@ def dedup_simhash_pairs(spark, sf_dir,
     else:
         small1, big1 = b1, None
 
-    def _self_join(df, keys):
-        # per-bucket pair expansion + the hamming gate INSIDE the join
-        # stage: random band-key collisions almost never survive
-        # hamming ≤ 6 of 48, so the distinct() downstream shuffles only
-        # true pairs (× ≤84 band repeats), not the raw candidate volume
+    fc_arr = "array(" + ",".join(str(v) for v in _FIRST_CLEAN) + ")"
+
+    def _self_join(df, keys, level2=False):
+        # per-bucket pair expansion with BOTH gates INSIDE the join stage:
+        # the hamming gate (random band-key collisions almost never survive
+        # hamming ≤ 6 of 48) and the exactly-once gate (keep the row iff
+        # this band is the pair's FIRST clean combo — and, at level 2, iff
+        # this rotated band2 is the first clean rotated combo). Every
+        # surviving pair leaves the stage exactly once, so no downstream
+        # distinct() exchange exists at all.
         a, b = df.alias("a"), df.alias("b")
         cond = F.col("a.simhash") < F.col("b.simhash")
         for k in keys:
             cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
-        return (a.join(b, cond)
-                .select(F.col("a.simhash").alias("sa"),
-                        F.col("b.simhash").alias("sb"))
-                .filter(F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
-                        <= _SIMHASH_MAX_HAMMING))
+        keep = [F.col(f"a.{k}").alias(k) for k in keys
+                if k in ("band", "band2")]
+        j = (a.join(b, cond)
+             .select(F.col("a.simhash").alias("sa"),
+                     F.col("b.simhash").alias("sb"), *keep)
+             .filter(F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+                     <= _SIMHASH_MAX_HAMMING)
+             .filter(F.expr(
+                 "band = element_at(" + fc_arr + ", "
+                 + _clean_mask("sa ^ sb", "DIV") + " + 1)")))
+        if level2:
+            j = j.filter(F.expr(
+                "band2 = element_at(" + fc_arr + ", "
+                + _clean_mask(_rot_expr("(sa ^ sb)", _SIMHASH_ROT), "DIV")
+                + " + 1)"))
+        return j.select("sa", "sb")
 
     cand = _self_join(small1, ["band", "band_val"])
     if big1 is not None:
@@ -703,9 +760,10 @@ def dedup_simhash_pairs(spark, sf_dir,
                          ["band", "band_val", "band2", "band2_val"],
                          "left_anti")
         cand = cand.union(
-            _self_join(small2, ["band", "band_val", "band2", "band2_val"]))
+            _self_join(small2, ["band", "band_val", "band2", "band2_val"],
+                       level2=True))
 
-    rp = (cand.distinct()
+    rp = (cand
           .withColumn("hamming",
                       F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
                       .cast("bigint")))
@@ -747,6 +805,12 @@ def _sql_rot(h: str) -> str:
     space = 1 << _SIMHASH_BITS
     return (f"(({h} * {1 << _SIMHASH_ROT}) % {space}"
             f" + ({h} // {1 << (_SIMHASH_BITS - _SIMHASH_ROT)}))")
+
+
+def _mask_values() -> str:
+    """(mask, first-clean-band) rows for the exactly-once lookup —
+    the DuckDB mirror of the Spark side's ``element_at`` array literal."""
+    return ", ".join(f"({m}, {fb})" for m, fb in enumerate(_FIRST_CLEAN))
 
 
 def simhash_pairs_sql(band_cap: int | None = _SIMHASH_BAND_CAP,
@@ -801,14 +865,22 @@ cnt AS (
 ), small2 AS (
   SELECT b2.* FROM b2 JOIN s2 USING (band, band_val, band2, band2_val)
   WHERE s2.bn <= {bc}
+), masks AS (
+  SELECT * FROM (VALUES {_mask_values()}) t(mask, fb)
 ), cand AS (
   SELECT a.simhash AS sa, b.simhash AS sb
   FROM small1 a JOIN small1 b USING (band, band_val)
-  WHERE a.simhash < b.simhash
-  UNION
+  JOIN masks m
+    ON m.mask = {_clean_mask('xor(a.simhash, b.simhash)', '//')}
+  WHERE a.simhash < b.simhash AND band = m.fb
+  UNION ALL
   SELECT a.simhash, b.simhash
   FROM small2 a JOIN small2 b USING (band, band_val, band2, band2_val)
-  WHERE a.simhash < b.simhash
+  JOIN masks m1
+    ON m1.mask = {_clean_mask('xor(a.simhash, b.simhash)', '//')}
+  JOIN masks m2
+    ON m2.mask = {_clean_mask(_sql_rot('xor(a.simhash, b.simhash)'), '//')}
+  WHERE a.simhash < b.simhash AND band = m1.fb AND band2 = m2.fb
 ), rp AS (
   SELECT sa, sb, bit_count(xor(sa, sb))::BIGINT AS hamming FROM cand
   WHERE bit_count(xor(sa, sb)) <= {_SIMHASH_MAX_HAMMING}
