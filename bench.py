@@ -239,6 +239,21 @@ def main() -> int:
                 .mode("overwrite").save()
             t_sf10[name] = round(time.time() - t0, 2)
             spark.catalog.clearCache()
+            # steady-state min-of-2 for the CHEAP sf10 queries only: the
+            # long-lived suite JVM shows rare 5-10x single-run spikes on
+            # otherwise-fast queries (corpus_filter 90.6 s in-suite vs
+            # 7.8 s standalone, same code/data — GC/co-tenant noise, see
+            # BASELINE.md sf10 variance caveat). A second run bounds that
+            # at ~+1 min total; the heavy dedup queries stay single-run
+            # (their scale evidence is the telemetry, and 2x their cost
+            # would risk the round driver's bench window).
+            if t_sf10[name] < 60.0:
+                t0 = time.time()
+                qs[name](spark, sf10_dir).write.format("noop") \
+                    .mode("overwrite").save()
+                t_sf10[name] = min(t_sf10[name],
+                                   round(time.time() - t0, 2))
+                spark.catalog.clearCache()
         n10 = spark.read.parquet(f"{sf10_dir}/documents.parquet").count()
         caps_j = dd.dedup_shingle_df_stats(spark, sf10_dir).first()
         caps_s = dd.dedup_simhash_band_stats(spark, sf10_dir).first()
