@@ -122,6 +122,19 @@ def test_exchange_count_bounded(spark):
         assert n <= max_exchanges, f"{q}: {n} exchanges"
 
 
+def test_simhash_pairs_no_pair_volume_distinct(spark):
+    """The exactly-once first-clean-combo gate (queries/dedup.py) means
+    the candidate-pair stream leaves the band self-join already unique:
+    no aggregate keyed on the pair (sa, sb) — i.e. no distinct() and no
+    pair-volume Exchange (98.7M rows / ~1.6 GB at sf1) — may reappear in
+    the physical plan. Aggregates keyed on doc_id/simhash (fingerprint
+    fold, group stats, bucket sizes) are the expected linear ones."""
+    plan = _plan(spark, "dedup_simhash_pairs")
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert not re.search(r"Keys \[2\]: \[sa#\d+L?, sb#\d+L?\]", phys)
+    assert not re.search(r"Keys \[2\]: \[doc_a#\d+L?, doc_b#\d+L?\]", phys)
+
+
 def test_ann_index_partition_pruning(spark):
     """The materialized ANN index must be read partition-pruned: the scan
     touches <=9 of 256 LSH bucket dirs (multiprobe), exactly 1 for the
