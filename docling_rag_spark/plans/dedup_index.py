@@ -35,7 +35,9 @@ import uuid
 
 from pyspark.sql import functions as F
 
-from docling_rag_spark.queries.dedup import band_sigs_for
+from docling_rag_spark.queries.dedup import (
+    _BAND_SIZE, _NUM_PERMS, _SHINGLE_K, band_sigs_for,
+)
 
 BANDS_SUBDIR = "minhash_bands"
 
@@ -110,8 +112,14 @@ def ensure_band_index(spark, sf_dir: str, hi_pct: int = SPLIT_PCT) -> str:
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
     path_key = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:12]
+    # The signature shape is part of the key: a cached index built under a
+    # different (shingle_k, perms, band_size) is silently incompatible with
+    # fresh probe signatures (zero candidate pairs, no error) — exactly the
+    # failure a versioned index layout must make impossible.
+    sig_shape = f"k{_SHINGLE_K}p{_NUM_PERMS}b{_BAND_SIZE}"
     state_key = hashlib.md5(
-        f"{st.st_mtime_ns}|{st.st_size}|{hi_pct}|v1".encode()).hexdigest()[:12]
+        f"{st.st_mtime_ns}|{st.st_size}|{hi_pct}|{sig_shape}|v1"
+        .encode()).hexdigest()[:12]
     root = os.environ.get("SPARK_GRAFT_DEDUP_DIR",
                           os.path.join(tempfile.gettempdir(),
                                        "spark_graft_dedup"))

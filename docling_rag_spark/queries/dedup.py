@@ -60,7 +60,17 @@ _P = 2147483647          # Mersenne prime 2^31-1 for the minhash permutations
 # against the exact inverted-index pairs; tests pin the ≥0.9 floor at 0.8.
 _NUM_PERMS = 128
 _BAND_SIZE = 8           # 16 bands × 8 rows
-_SHINGLE_K = 3           # 3-word shingles
+# 5-word shingles (the MinHash-literature production shape; rounds 1-4a
+# used 3). Why it matters at scale: 3-word shingles are non-discriminative
+# — measured at sf10 (500k docs) they generate 113M candidate doc-pairs of
+# which only 59k (0.05%) clear the 0.05-jaccard floor, and at 10^9+ docs
+# every common 3-word phrase exceeds any DF cap, so the capped jaccard
+# degenerates (most shingles dropped from both the intersection AND size
+# terms). 5-word shingles cut the sf10 candidate volume ~100x (126.6M ->
+# 1.35M pair rows, same corpus) while the true near-dup pairs are
+# unchanged (sf0.1 exact pairs at jaccard >= 0.8: 256 at k=3 vs 255 at
+# k=5 — near-dups share long runs, junk pairs don't).
+_SHINGLE_K = 5
 _SIMHASH_BITS = 48       # ≤53 so pow(2, bit) stays exact in doubles
 _WORD_RE = "[a-z0-9]+"
 
