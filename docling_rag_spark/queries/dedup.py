@@ -23,7 +23,7 @@ Scale design (100 TB):
   equi-join on (band, band_val) + exact hamming filter is EXACTLY the
   brute-force result at fingerprint level. Each pair is emitted EXACTLY
   ONCE — a join row survives only if its band is the pair's FIRST clean
-  combo (a 512-entry lookup on the segment-equality mask of xor(sa,sb),
+  combo (a 2^9-entry lookup on the segment-equality mask of xor(sa,sb),
   evaluated inside the join stage) — so the pair volume never pays a
   distinct() exchange. Expanding fingerprint pairs through group
   membership is exact because hamming is a function of the fingerprints
@@ -544,13 +544,24 @@ _SIMHASH_GROUP_CAP = 1000  # docs per identical-fp group before star fallback
 # level-1 bucket re-blocks by a genuinely different 9-way partition of the
 # same bits (pigeonhole holds for any partition).
 #
-# Measured (local[32], .benchdata): sf1 50k docs → 702k buckets, 5 capped,
-# 98.7M candidates, 43.1 s; sf10 500k docs → 4.06M buckets, 20 capped,
-# 1.016B candidates (10.3× — linear), 158.6 s (3.7× wall for 10× data).
-# The cost over the old saturated scheme buys the recall: the cap now
-# engages on 20 of 4M buckets instead of 95% of all buckets.
+# Segment-count/combo-size trade (r4): hamming ≤ 6 dirties ≤ 6 segments,
+# so ANY (s, c) with c ≤ s - hamming_max is recall-lossless by pigeonhole.
+# A bigger combo widens the band key (more bits) which crushes RANDOM
+# collisions exponentially — but this corpus's candidate mass is
+# STRUCTURAL, not random: template near-miss clusters of 1k+ distinct
+# fingerprints agree on nearly every segment, so they collide in any
+# combo of their shared segments regardless of key width, and candidate
+# work scales with band COUNT (each band re-probes the same cluster).
+# Measured both shapes at sf10 (500k docs, local[32]): 9/3 = 84 bands,
+# 1.016B candidates, 104 s; 10/4 = 210 bands, 1.16B candidates, 137 s —
+# the wider key bought nothing and the 2.5x band count cost 30%. 9/3 is
+# the minimum-band shape whose key space (2^15..2^18 per band) still
+# bounds the uniform term at this scale; the per-bucket cap + level-2
+# re-block bound the structural term (recall floor pytest-pinned).
 _SIMHASH_N_SEGS = _SIMHASH_MAX_HAMMING + 3   # 9
 _SIMHASH_COMBO_K = 3
+assert _SIMHASH_COMBO_K <= _SIMHASH_N_SEGS - _SIMHASH_MAX_HAMMING, \
+    "pigeonhole: a qualifying pair must always have a fully-clean combo"
 _SIMHASH_ROT = 2                             # level-2 bit rotation
 
 
@@ -567,8 +578,8 @@ def _seg_ranges(bits: int, n: int):
 
 _SIMHASH_SEG_RANGES = _seg_ranges(_SIMHASH_BITS, _SIMHASH_N_SEGS)
 
-# one row per band: (band, pl1, ps1, pl2, ps2, pl3, ps3) where segment j of
-# fingerprint h is (h DIV pl) % ps — pure bigint arithmetic, so the
+# one row per band: (band, pl1, ps1, …, pl{c}, ps{c}) where segment j of
+# fingerprint h is (h DIV pl_j) % ps_j — pure bigint arithmetic, so the
 # extraction expression is IDENTICAL in Spark SQL and DuckDB (no engine-
 # specific shift builtins, no sign-extension differences)
 from itertools import combinations as _combinations  # noqa: E402
@@ -580,13 +591,28 @@ _COMBO_ROWS = tuple(
     for band, combo in enumerate(
         _combinations(range(_SIMHASH_N_SEGS), _SIMHASH_COMBO_K)))
 
-_COMBO_SCHEMA = ("band int, pl1 bigint, ps1 bigint, pl2 bigint, "
-                 "ps2 bigint, pl3 bigint, ps3 bigint")
+_COMBO_SCHEMA = "band int, " + ", ".join(
+    f"pl{j} bigint, ps{j} bigint"
+    for j in range(1, _SIMHASH_COMBO_K + 1))
 
-# band_val = seg1 · ps2·ps3 + seg2 · ps3 + seg3  (concatenated segments)
-_COMBO_VAL_EXPR = ("(((_bh DIV pl1) % ps1) * ps2 * ps3"
-                   " + ((_bh DIV pl2) % ps2) * ps3"
-                   " + ((_bh DIV pl3) % ps3))")
+_COMBO_COLS = "band, " + ", ".join(
+    f"pl{j}, ps{j}" for j in range(1, _SIMHASH_COMBO_K + 1))
+
+
+def _band_val_expr(h: str, div: str, pre: str = "") -> str:
+    """Concatenated-segment band value, Horner form:
+    ((seg1·ps2 + seg2)·ps3 + seg3)… — identical arithmetic on both
+    engines (``div``: Spark ``DIV`` / DuckDB ``//``; ``pre``: table
+    alias prefix for the combo columns)."""
+    val = f"(({h}) {div} {pre}pl1) % {pre}ps1"
+    for j in range(2, _SIMHASH_COMBO_K + 1):
+        val = (f"({val}) * {pre}ps{j}"
+               f" + (({h}) {div} {pre}pl{j}) % {pre}ps{j}")
+    return f"({val})"
+
+
+# band_val = seg1·ps2·…·ps_c + seg2·ps3·…·ps_c + … + seg_c
+_COMBO_VAL_EXPR = _band_val_expr("_bh", "DIV")
 
 
 def _rot_expr(col: str, rot: int) -> str:
@@ -806,9 +832,7 @@ def _combo_values() -> str:
 def _sql_band_val(h: str) -> str:
     """DuckDB mirror of ``_COMBO_VAL_EXPR`` (``//`` == Spark's ``DIV`` on
     non-negative bigints)."""
-    return (f"((({h} // s.pl1) % s.ps1) * s.ps2 * s.ps3"
-            f" + (({h} // s.pl2) % s.ps2) * s.ps3"
-            f" + (({h} // s.pl3) % s.ps3))")
+    return _band_val_expr(h, "//", "s.")
 
 
 def _sql_rot(h: str) -> str:
@@ -854,7 +878,7 @@ cnt AS (
   SELECT simhash, rep AS doc_id FROM cnt WHERE n > {gc}
 ), combos AS (
   SELECT * FROM (VALUES {_combo_values()})
-  t(band, pl1, ps1, pl2, ps2, pl3, ps3)
+  t({_COMBO_COLS})
 ), b1 AS (
   SELECT c.simhash, s.band, {_sql_band_val('c.simhash')} AS band_val
   FROM cnt c CROSS JOIN combos s
@@ -934,7 +958,7 @@ SIMHASH_BAND_STATS_SQL = f"""
 WITH fp AS ({SIMHASH_SQL}),
 cnt AS (SELECT simhash FROM fp GROUP BY simhash),
 combos AS (SELECT * FROM (VALUES {_combo_values()})
-           t(band, pl1, ps1, pl2, ps2, pl3, ps3)),
+           t({_COMBO_COLS})),
 bands AS (
   SELECT c.simhash, s.band, {_sql_band_val('c.simhash')} AS band_val
   FROM cnt c CROSS JOIN combos s
