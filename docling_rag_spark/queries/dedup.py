@@ -379,35 +379,139 @@ def band_sigs_for(docs):
                     "band_sig"))
 
 
-def minhash_pairs_for(docs):
-    """LSH candidate pairs for any (doc_id bigint, text) DataFrame."""
-    bands = band_sigs_for(docs)
-    a, b = bands.alias("a"), bands.alias("b")
-    return (a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.band_sig") == F.col("b.band_sig"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .groupBy(F.col("a.doc_id").alias("doc_a"),
-                     F.col("b.doc_id").alias("doc_b"))
+# Per-(band, band_sig) bucket cap before star-edge fallback — the same
+# template-cluster defense the simhash path carries (_SIMHASH_GROUP_CAP):
+# a near-identical cluster of m docs shares all 16 band signatures, so the
+# uncapped band self-join emits 16·m²/2 rows from ONE bucket (a 100k-doc
+# template cluster — the dominant dup structure in web crawls — is 8·10¹³
+# join rows). Above the cap the bucket degrades to star edges through its
+# minimum-id representative: linear output, component-equivalent (every
+# member still reaches every other through the rep, so dedup_components
+# and plans/curate.py keep-one-per-cluster are unchanged). Realized
+# pairwise recall under the cap stays measured by dedup_minhash_recall;
+# dedup_minhash_group_stats exposes how many buckets capped.
+_MINHASH_GROUP_CAP = 1000
+
+
+def banded_pairs_for(bands, group_cap: int | None = _MINHASH_GROUP_CAP):
+    """(doc_a, doc_b, n_shared_bands) candidate pairs from a
+    (doc_id, band, band_sig) frame, with the per-bucket group cap.
+
+    Shape: ONE shuffle on (band, band_sig) — the window computes bucket
+    size + min-id rep without materializing member arrays (an over-cap
+    bucket never becomes a collected row); in-cap buckets (≤ group_cap)
+    expand to all pairs via the sorted-array HOF (bounded cap²/2 structs
+    per bucket row), over-cap buckets emit (rep, member) star edges —
+    O(m) rows. The final pair groupBy is candidate-bounded (≤ 16 bands
+    per pair)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "band_sig")
+    mem = bands.select(
+        "doc_id", "band", "band_sig",
+        F.count("*").over(w).alias("n"),
+        F.min("doc_id").over(w).alias("rep"))
+    small = mem.filter(F.col("n") >= 2)
+    star = None
+    if group_cap is not None:
+        small = small.filter(F.col("n") <= group_cap)
+        star = (mem.filter((F.col("n") > group_cap)
+                           & (F.col("doc_id") != F.col("rep")))
+                .select(F.col("rep").cast("bigint").alias("doc_a"),
+                        F.col("doc_id").cast("bigint").alias("doc_b")))
+    pairs = (small.groupBy("band", "band_sig")
+             .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+             .select(F.explode(_pair_structs(F.col("ds"))).alias("p"))
+             .select(F.col("p.doc_a").cast("bigint").alias("doc_a"),
+                     F.col("p.doc_b").cast("bigint").alias("doc_b")))
+    if star is not None:
+        pairs = pairs.union(star)
+    return (pairs.groupBy("doc_a", "doc_b")
             .agg(F.count("*").cast("bigint").alias("n_shared_bands")))
+
+
+def minhash_pairs_for(docs, group_cap: int | None = _MINHASH_GROUP_CAP):
+    """LSH candidate pairs for any (doc_id bigint, text) DataFrame."""
+    return banded_pairs_for(band_sigs_for(docs), group_cap)
 
 
 def dedup_minhash_pairs(spark, sf_dir):
     return minhash_pairs_for(_t(spark, sf_dir, "documents"))
 
 
-MINHASH_PAIRS_SQL = f"""
-WITH sig AS ({MINHASH_SIG_SQL}),
-bands AS (
+_MINHASH_BANDS_SQL = f"""
   SELECT doc_id, (perm_id // {_BAND_SIZE})::INT AS band,
          md5(string_agg(minhash::VARCHAR, '_' ORDER BY perm_id)) AS band_sig
   FROM sig GROUP BY doc_id, (perm_id // {_BAND_SIZE})::INT
+"""
+
+
+def minhash_pairs_sql(group_cap: int | None = _MINHASH_GROUP_CAP) -> str:
+    """DuckDB twin of ``minhash_pairs_for`` — the group cap + star-edge
+    fallback mirrored EXACTLY (count/min window per bucket, in-cap full
+    expansion, over-cap (rep, member) edges)."""
+    cap_pred = "" if group_cap is None else f"\n  WHERE a.n <= {group_cap}"
+    star = "" if group_cap is None else f"""
+  UNION ALL
+  SELECT rep AS doc_a, doc_id AS doc_b FROM mem
+  WHERE n > {group_cap} AND doc_id <> rep"""
+    return f"""
+WITH sig AS ({MINHASH_SIG_SQL}),
+bands AS ({_MINHASH_BANDS_SQL}),
+mem AS (
+  SELECT doc_id, band, band_sig,
+         count(*) OVER (PARTITION BY band, band_sig) AS n,
+         min(doc_id) OVER (PARTITION BY band, band_sig) AS rep
+  FROM bands
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM mem a JOIN mem b
+    ON a.band = b.band AND a.band_sig = b.band_sig
+   AND a.doc_id < b.doc_id{cap_pred}{star}
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       count(*)::BIGINT AS n_shared_bands
-FROM bands a
-JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
-            AND a.doc_id < b.doc_id
-GROUP BY a.doc_id, b.doc_id
+SELECT doc_a, doc_b, count(*)::BIGINT AS n_shared_bands
+FROM pairs GROUP BY doc_a, doc_b
+"""
+
+
+MINHASH_PAIRS_SQL = minhash_pairs_sql(_MINHASH_GROUP_CAP)
+
+
+def dedup_minhash_group_stats(spark, sf_dir):
+    """Cap observability for the MinHash band buckets (the twin of
+    ``dedup_simhash_band_stats`` / ``dedup_shingle_df_stats``): bucket
+    count, how many exceeded the group cap, the largest bucket, and the
+    quadratic pair rows the star fallback avoided — the number a
+    production run logs to prove the template-cluster defense engaged."""
+    g = (band_sigs_for(_t(spark, sf_dir, "documents"))
+         .groupBy("band", "band_sig")
+         .agg(F.count("*").cast("bigint").alias("n")))
+    over = F.col("n") > _MINHASH_GROUP_CAP
+    saved = F.expr("n * (n - 1) DIV 2 - (n - 1)")
+    return g.agg(
+        F.count("*").cast("bigint").alias("n_buckets"),
+        F.sum(over.cast("bigint")).cast("bigint").alias("n_buckets_capped"),
+        F.max("n").cast("bigint").alias("max_bucket"),
+        F.sum(F.when(over, saved).otherwise(0))
+        .cast("bigint").alias("n_pair_rows_saved"))
+
+
+MINHASH_GROUP_STATS_SQL = f"""
+WITH sig AS ({MINHASH_SIG_SQL}),
+bands AS ({_MINHASH_BANDS_SQL}),
+g AS (
+  SELECT band, band_sig, count(*)::BIGINT AS n
+  FROM bands GROUP BY band, band_sig
+)
+SELECT count(*)::BIGINT AS n_buckets,
+       sum(CASE WHEN n > {_MINHASH_GROUP_CAP} THEN 1 ELSE 0 END)::BIGINT
+         AS n_buckets_capped,
+       max(n)::BIGINT AS max_bucket,
+       sum(CASE WHEN n > {_MINHASH_GROUP_CAP}
+                THEN n * (n - 1) // 2 - (n - 1) ELSE 0 END)::BIGINT
+         AS n_pair_rows_saved
+FROM g
 """
 
 
@@ -1201,6 +1305,10 @@ DIAGNOSTICS = {
     # jaccard blocking observability (driver window holds its pattern twin
     # dedup_simhash_band_stats; this one stays pytest-/bench-visible)
     "dedup_shingle_df_stats": (dedup_shingle_df_stats, SHINGLE_DF_STATS_SQL),
+    # minhash bucket-cap observability (VERDICT r4 task 1): buckets over
+    # _MINHASH_GROUP_CAP degrade to star edges; this exposes how often
+    "dedup_minhash_group_stats": (dedup_minhash_group_stats,
+                                  MINHASH_GROUP_STATS_SQL),
     # transitive closure of the pair lists — lives here (not in the
     # 50-entry driver window) but is oracle-verified by the local parity
     # suite against an independent recursive-CTE closure

@@ -85,6 +85,70 @@ def test_simhash_group_cap_mirrored_when_firing(spark):
     assert lab_star == lab_full
 
 
+def test_minhash_group_cap_linear_on_template_cluster(spark):
+    """VERDICT r4 task 1: a template cluster of m near-identical docs (the
+    dominant dup structure in web crawls) shares all 16 band signatures;
+    the uncapped band join emits 16·m²/2 rows from one bucket. With the
+    cap, output is m-1 star edges through the min-id rep — O(m), and every
+    member is still one hop from the rep (component-equivalent)."""
+    from pyspark.sql import functions as F
+
+    from docling_rag_spark.queries.dedup import minhash_pairs_for
+
+    m = 5000
+    docs = spark.range(1, m + 1).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate template sentence repeated across "
+              "every page of the mirrored site farm").alias("text"))
+    rows = minhash_pairs_for(docs, group_cap=100).collect()
+    assert len(rows) == m - 1, f"expected O(m) star edges, got {len(rows)}"
+    assert all(r["doc_a"] == 1 for r in rows)          # min-id rep
+    assert all(r["n_shared_bands"] == 16 for r in rows)
+    assert sorted(r["doc_b"] for r in rows) == list(range(2, m + 1))
+
+
+def test_minhash_group_cap_mirrored_when_firing(spark):
+    """With a cap small enough to fire at test SF, Spark and the DuckDB
+    twin degrade the SAME buckets to the SAME star edges — and the capped
+    pair graph keeps every uncapped component intact."""
+    from docling_rag_spark.queries.dedup import (
+        _cc_labels, dedup_minhash_pairs, minhash_pairs_for,
+        minhash_pairs_sql,
+    )
+    from pyspark.sql import functions as F
+
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"), "text"))
+    cap = 2
+    got = sorted(tuple(int(v) for v in r)
+                 for r in minhash_pairs_for(docs, group_cap=cap).collect())
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/documents.parquet')")
+    want = sorted(tuple(int(v) for v in r)
+                  for r in con.execute(minhash_pairs_sql(cap)).fetchall())
+    uncapped = sorted(
+        tuple(int(v) for v in r)
+        for r in con.execute(minhash_pairs_sql(None)).fetchall())
+    con.close()
+    assert got == want
+    assert 0 < len(got) < len(uncapped), \
+        "group cap never fired at this SF; lower it"
+    # component equivalence under the firing cap
+    full = minhash_pairs_for(docs, group_cap=None)
+    capped = minhash_pairs_for(docs, group_cap=cap)
+    lab_full = {r["node"]: r["label"]
+                for r in _cc_labels(full.select("doc_a", "doc_b")).collect()}
+    lab_cap = {r["node"]: r["label"]
+               for r in _cc_labels(capped.select("doc_a", "doc_b")).collect()}
+    assert lab_cap == lab_full
+    # the uncapped path equals the pre-cap contract (old self-join output)
+    got_un = sorted(tuple(int(v) for v in r)
+                    for r in minhash_pairs_for(docs, group_cap=None)
+                    .collect())
+    assert got_un == uncapped
+
+
 def test_component_labels_transitive(spark):
     """Min-label propagation must close chains transitively: A-B, B-C, C-D
     is ONE component labeled by its minimum id, even though A and D never
