@@ -89,3 +89,20 @@ def bucket_route(bucket_col: Column, batch: list[int],
     for i, b in enumerate(batch):
         lookup[b] = pre[i]
     return F.element_at(F.lit(lookup), bucket_col + F.lit(1))
+
+
+def route_repartition(df, buckets, bucket_col: str = "bucket"):
+    """``df`` repartitioned so each bucket of ``buckets`` occupies exactly
+    one shuffle partition — the shared shape for every bucket-aligned
+    rewrite (extraction batches, delete rewrites, registry folds): a
+    downstream ``partitionBy(bucket)`` write then emits one file per
+    bucket with a trivial sort. Rows must already be filtered to
+    ``buckets``. Plain ``repartition(n, col)`` hash-scatter leaves ~1/e
+    of slots empty and stacks 3-4 buckets on others; ``bucket_route``
+    costs zero extra jobs (no range-partitioner sampling scan)."""
+    buckets = sorted(set(buckets))
+    if not buckets:
+        return df.repartition(1)
+    return df.repartition(
+        len(buckets),
+        bucket_route(F.col(bucket_col), buckets, max(buckets) + 1))

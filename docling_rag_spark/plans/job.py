@@ -624,7 +624,8 @@ def _delete_bucketed(spark, out_dir: str, table_dir: str, urls_df,
     shutil.rmtree(stage_tbl, ignore_errors=True)
     sort_cols = ["bucket", "url"] + (["chunk_id"]
                                      if "chunk_id" in kept.columns else [])
-    (kept.repartition(max(len(buckets), 1), F.col("bucket"))
+    from docling_rag_spark.functions.partitioning import route_repartition
+    (route_repartition(kept, buckets)
      .sortWithinPartitions(*sort_cols)
      .write.partitionBy("bucket").mode("overwrite").parquet(stage_tbl))
     # a zero-row partitionBy write leaves only _SUCCESS: no files to infer

@@ -189,8 +189,12 @@ def upsert_registry_table(spark, out_dir: str, updates: DataFrame,
         staging = os.path.join(out_dir, "_staging",
                                f"registry-{uuid.uuid4().hex[:12]}")
         shutil.rmtree(staging, ignore_errors=True)
-        (merged.withColumn("bucket", bucket_of(F.col("url"), num_buckets))
-         .repartition(max(len(buckets), 1), F.col("bucket"))
+        from docling_rag_spark.functions.partitioning import (
+            route_repartition,
+        )
+        (route_repartition(
+            merged.withColumn("bucket", bucket_of(F.col("url"), num_buckets)),
+            buckets)
          .sortWithinPartitions("bucket", "url")
          .write.partitionBy("bucket").mode("overwrite").parquet(staging))
         # buckets that vanished entirely still need their old dir replaced

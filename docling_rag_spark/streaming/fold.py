@@ -96,7 +96,10 @@ def fold_stream_chunks(spark: SparkSession, out_dir: str,
         staging = os.path.join(out_dir, "_staging", snap_id)
         read_ts = wh.now()
         try:
-            (merged.repartition(len(buckets), F.col("bucket"))
+            from docling_rag_spark.functions.partitioning import (
+                route_repartition,
+            )
+            (route_repartition(merged, buckets)
              .sortWithinPartitions("bucket", "url", "chunk_id")
              .write.partitionBy("bucket").mode("overwrite").parquet(staging))
             with wh.commit_lock(out_dir):

@@ -73,3 +73,23 @@ def test_bucket_route_subset_batch(spark):
                 .collect())
     assert len(per_part) == len(batch)
     assert all(r["nb"] == 1 for r in per_part)
+
+
+def test_route_repartition_one_bucket_per_partition(spark):
+    """The shared rewrite helper (delete/registry/fold sites) must place
+    each active bucket alone in its own shuffle partition — same property
+    as raw bucket_route, via the list-only signature those sites have."""
+    from docling_rag_spark.functions.partitioning import route_repartition
+
+    buckets = [1, 5, 9, 12]
+    df = (spark.range(1000)
+          .withColumn("bucket",
+                      F.pmod(F.xxhash64("id"), F.lit(16)).cast("int"))
+          .filter(F.col("bucket").isin(buckets)))
+    per_part = (route_repartition(df, buckets)
+                .withColumn("pid", F.spark_partition_id())
+                .groupBy("pid")
+                .agg(F.countDistinct("bucket").alias("nb"))
+                .collect())
+    assert len(per_part) == len(buckets)
+    assert all(r["nb"] == 1 for r in per_part)
