@@ -1,21 +1,27 @@
-"""From-scratch baseline JPEG codec (stdlib + numpy only — no PIL/libjpeg).
+"""From-scratch JPEG codec (stdlib + numpy only — no PIL/libjpeg).
 
 Closes the last real-codec refusal in the multimodal tier (VERDICT r3
 "What's missing" #3 noted PNG was avoidable; this does the same for
-baseline JPEG). Scope — the baseline sequential DCT process of ITU-T.81:
+JPEG). Scope — the baseline sequential (SOF0) AND progressive (SOF2) DCT
+processes of ITU-T.81 (progressive per Annex G: spectral selection +
+successive approximation, DC/AC first and refinement scans, EOB runs):
 
-  decoder: SOI / APPn+COM (skipped) / DQT (8-bit) / SOF0 (8-bit precision,
-           1 or 3 components, 1x1 ("4:4:4") or 2x2-luma ("4:2:0")
-           sampling) / DHT (generic — ANY spec-valid table, not just the
-           Annex K defaults) / DRI + RSTn restarts / single-scan SOS.
-           Progressive (SOF2), arithmetic coding, 12-bit, and hierarchical
-           modes raise ValueError → the caller's fail-soft error tier.
+  decoder: SOI / APPn+COM (skipped) / DQT (8-bit) / SOF0 or SOF2 (8-bit
+           precision, 1 or 3 components, 1x1 ("4:4:4") or 2x2-luma
+           ("4:2:0") sampling) / DHT (generic — ANY spec-valid table, not
+           just the Annex K defaults) / DRI + RSTn restarts / single-scan
+           baseline SOS or multi-scan progressive SOS sequences.
+           Arithmetic coding, 12-bit, lossless, and hierarchical modes
+           raise ValueError → the caller's fail-soft error tier.
   encoder (fixture builder): grayscale, 4:4:4 and 4:2:0 YCbCr, optional
-           restart interval. Writes its OWN spec-valid canonical Huffman
-           tables (DC: twelve 4-bit codes; AC: all 162 run/size symbols at
-           8 bits) instead of transcribing the Annex K defaults — any
-           conforming decoder reads the DHT segment, so the files are
-           ordinary JPEGs while the tables stay provably Kraft-valid.
+           restart interval, baseline or progressive (a 4/10-scan script
+           exercising all four progressive scan kinds). Writes its OWN
+           spec-valid canonical Huffman tables (DC: twelve 4-bit codes;
+           AC: the 162 baseline run/size symbols — plus the 14 EOBn
+           symbols for progressive — at 8 bits) instead of transcribing
+           the Annex K defaults — any conforming decoder reads the DHT
+           segment, so the files are ordinary JPEGs while the tables stay
+           provably Kraft-valid.
 
 Determinism: every DCT/quant/color step is fixed-point int64 arithmetic
 (14-bit scaled orthonormal cosine table, rounding shifts) — bit-exact
@@ -103,6 +109,10 @@ _AC_SYMBOLS = [0x00, 0xF0] + [(r << 4) | s for r in range(16)
                               for s in range(1, 11)]
 _ENC_DC_BITS = [0, 0, 0, 12] + [0] * 12        # BITS[1..16]
 _ENC_AC_BITS = [0] * 7 + [len(_AC_SYMBOLS)] + [0] * 8
+# progressive AC table adds the EOBn symbols (r<<4, r=1..14: EOB runs of
+# 2..32767 blocks); 176 symbols still fit 8-bit codes (Kraft: 176 < 256)
+_AC_SYMBOLS_PROG = _AC_SYMBOLS + [r << 4 for r in range(1, 15)]
+_ENC_AC_BITS_PROG = [0] * 7 + [len(_AC_SYMBOLS_PROG)] + [0] * 8
 
 
 def _canonical_codes(bits: list[int], symbols: list[int]) -> dict:
@@ -119,6 +129,7 @@ def _canonical_codes(bits: list[int], symbols: list[int]) -> dict:
 
 _ENC_DC_CODES = _canonical_codes(_ENC_DC_BITS, _DC_SYMBOLS)
 _ENC_AC_CODES = _canonical_codes(_ENC_AC_BITS, _AC_SYMBOLS)
+_ENC_AC_CODES_PROG = _canonical_codes(_ENC_AC_BITS_PROG, _AC_SYMBOLS_PROG)
 
 
 # --- bit IO --------------------------------------------------------------------
@@ -283,11 +294,14 @@ def _dqt_segment(tq: int, table: np.ndarray) -> bytes:
 
 
 def encode_jpeg(pix: np.ndarray, subsample: str = "444",
-                restart_interval: int = 0) -> bytes:
-    """Deterministic baseline JPEG bytes from an (h, w) grayscale or
-    (h, w, 3) RGB uint8 array. ``subsample``: "444" or "420" (color only).
+                restart_interval: int = 0,
+                progressive: bool = False) -> bytes:
+    """Deterministic JPEG bytes from an (h, w) grayscale or (h, w, 3) RGB
+    uint8 array. ``subsample``: "444" or "420" (color only).
     ``restart_interval`` > 0 emits DRI + RSTn markers every that many MCUs
-    (exercises the decoder's restart path)."""
+    (exercises the decoder's restart path). ``progressive`` emits an SOF2
+    multi-scan stream (spectral selection + 2-level successive
+    approximation — all four Annex G scan kinds)."""
     gray = pix.ndim == 2
     h, w = pix.shape[:2]
     if h == 0 or w == 0:
@@ -296,7 +310,7 @@ def encode_jpeg(pix: np.ndarray, subsample: str = "444",
     out += _dqt_segment(0, _Q_LUMA)
     if not gray:
         out += _dqt_segment(1, _Q_CHROMA)
-    # SOF0
+    # SOF0 / SOF2
     if gray:
         comps = [(1, 0x11, 0)]
     elif subsample == "420":
@@ -306,20 +320,24 @@ def encode_jpeg(pix: np.ndarray, subsample: str = "444",
     sof = struct.pack(">BHHB", 8, h, w, len(comps))
     for cid, samp, tq in comps:
         sof += bytes([cid, samp, tq])
-    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    out += (b"\xff\xc2" if progressive else b"\xff\xc0") \
+        + struct.pack(">H", len(sof) + 2) + sof
+    ac_bits, ac_syms = ((_ENC_AC_BITS_PROG, _AC_SYMBOLS_PROG)
+                        if progressive else (_ENC_AC_BITS, _AC_SYMBOLS))
     out += _dht_segment(0x00, _ENC_DC_BITS, _DC_SYMBOLS)
-    out += _dht_segment(0x10, _ENC_AC_BITS, _AC_SYMBOLS)
+    out += _dht_segment(0x10, ac_bits, ac_syms)
     if not gray:
         out += _dht_segment(0x01, _ENC_DC_BITS, _DC_SYMBOLS)
-        out += _dht_segment(0x11, _ENC_AC_BITS, _AC_SYMBOLS)
+        out += _dht_segment(0x11, ac_bits, ac_syms)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    # SOS
-    sos = bytes([len(comps)])
-    for cid, _, tq in comps:
-        sos += bytes([cid, 0x00 if tq == 0 else 0x11])
-    sos += bytes([0, 63, 0])
-    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+    if not progressive:
+        # single baseline SOS
+        sos = bytes([len(comps)])
+        for cid, _, tq in comps:
+            sos += bytes([cid, 0x00 if tq == 0 else 0x11])
+        sos += bytes([0, 63, 0])
+        out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
 
     # planes, quantized zigzag blocks per component, MCU-interleaved
     if gray:
@@ -353,6 +371,12 @@ def encode_jpeg(pix: np.ndarray, subsample: str = "444",
         coefs = _quantize(_fdct_blocks(blocks - 128), qtabs[cid])
         zzs[cid] = coefs.reshape(-1, 64)[:, _ZIG_FLAT]
         bw[cid] = plane.shape[1] // 8
+
+    if progressive:
+        _emit_progressive_scans(out, gray, subsample, zzs, bw,
+                                (h, w), restart_interval)
+        out += b"\xff\xd9"                     # EOI
+        return bytes(out)
 
     wtr = _BitWriter()
     preds = {cid: 0 for cid in planes}
@@ -394,6 +418,218 @@ def encode_jpeg(pix: np.ndarray, subsample: str = "444",
     out += wtr.buf
     out += b"\xff\xd9"                         # EOI
     return bytes(out)
+
+
+# --- progressive encoding (fixture builder; ITU-T.81 Annex G) ------------------
+
+class _ProgAc:
+    """Per-AC-scan entropy state: the pending EOB run and the correction
+    bits buffered behind it (emitted with the next EOBn symbol)."""
+
+    def __init__(self, wtr: _BitWriter) -> None:
+        self.wtr = wtr
+        self.eobrun = 0
+        self.pending: list[int] = []
+
+    def flush(self) -> None:
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            c, ln = _ENC_AC_CODES_PROG[nbits << 4]
+            self.wtr.put(c, ln)
+            if nbits:
+                self.wtr.put(self.eobrun & ((1 << nbits) - 1), nbits)
+            self.eobrun = 0
+        for b in self.pending:
+            self.wtr.put(b, 1)
+        self.pending = []
+
+
+def _ac_first_block(st: _ProgAc, zz, ss: int, se: int, al: int) -> None:
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        t = abs(v) >> al                       # G.1.2.2: magnitude shift
+        if t == 0:
+            r += 1
+            continue
+        st.flush()
+        while r > 15:
+            c, ln = _ENC_AC_CODES_PROG[0xF0]
+            st.wtr.put(c, ln)
+            r -= 16
+        s = t.bit_length()
+        if s > 10:
+            raise ValueError("jpeg AC coefficient out of encodable range")
+        c, ln = _ENC_AC_CODES_PROG[(r << 4) | s]
+        st.wtr.put(c, ln)
+        val = t if v > 0 else -t
+        st.wtr.put(val if val >= 0 else val + (1 << s) - 1, s)
+        r = 0
+    if r > 0:                                  # trailing zeros → EOB run
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            st.flush()
+
+
+def _ac_refine_block(st: _ProgAc, zz, ss: int, se: int, al: int) -> None:
+    """Refinement scan for one block — mirrors the decoder's consumption
+    windows exactly: a ZRL covers positions through the 16th zero-history
+    coefficient, a (r,1) symbol through the newly-significant one, and
+    correction bits for nonzero-history positions inside each window are
+    interleaved in position order."""
+    vals = [int(zz[k]) for k in range(ss, se + 1)]
+    absv = [abs(v) >> al for v in vals]
+    eob_idx = -1                               # last newly-significant
+    for i, t in enumerate(absv):
+        if t == 1:
+            eob_idx = i
+    pos, n = 0, len(absv)
+    while pos <= eob_idx:
+        j = pos
+        while absv[j] != 1:
+            j += 1
+        r = sum(1 for p in range(pos, j) if absv[p] == 0)
+        while r > 15:
+            st.flush()
+            c, ln = _ENC_AC_CODES_PROG[0xF0]
+            st.wtr.put(c, ln)
+            zeros = 0                          # decoder window: 16 zeros
+            while zeros < 16:
+                if absv[pos] == 0:
+                    zeros += 1
+                else:                          # nonzero-history: bit Al
+                    st.wtr.put(absv[pos] & 1, 1)
+                pos += 1
+            r -= 16
+        st.flush()
+        c, ln = _ENC_AC_CODES_PROG[(r << 4) | 1]
+        st.wtr.put(c, ln)
+        st.wtr.put(1 if vals[j] > 0 else 0, 1)
+        for p in range(pos, j):                # window up to the new coef
+            if absv[p] > 1:
+                st.wtr.put(absv[p] & 1, 1)
+        pos = j + 1
+    if pos < n:                                # rest of band → EOB run
+        st.eobrun += 1
+        st.pending.extend(absv[p] & 1 for p in range(pos, n)
+                          if absv[p] > 1)
+        if st.eobrun == 0x7FFF or len(st.pending) > 900:
+            st.flush()
+
+
+def _emit_dc(wtr: _BitWriter, zz0, pred: int, ah: int, al: int) -> int:
+    if ah == 0:                                # first scan: diff-coded
+        v = int(zz0) >> al                     # arithmetic shift (G.1.2.1)
+        diff = v - pred
+        size = _category(diff)
+        code, length = _ENC_DC_CODES[size]
+        wtr.put(code, length)
+        if size:
+            wtr.put(diff if diff >= 0 else diff + (1 << size) - 1, size)
+        return v
+    wtr.put((int(zz0) >> al) & 1, 1)           # refinement: raw bit
+    return pred
+
+
+def _encode_prog_scan(cids, ss, se, ah, al, zzs, bw, grids,
+                      subsample: str, restart_interval: int) -> bytes:
+    wtr = _BitWriter()
+    st = _ProgAc(wtr)
+    preds = {c: 0 for c in cids}
+    rst = {"i": 0, "n": 0}
+
+    def _boundary() -> None:
+        if (restart_interval and rst["n"]
+                and rst["n"] % restart_interval == 0):
+            st.flush()
+            wtr.flush()
+            wtr.buf += bytes([0xFF, 0xD0 + rst["i"]])
+            rst["i"] = (rst["i"] + 1) % 8
+            for c in preds:
+                preds[c] = 0
+
+    if ss == 0 and len(cids) > 1:              # interleaved DC scan
+        if subsample != "420":
+            mcus_x, mcus_y = bw[1], len(zzs[1]) // bw[1]
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    _boundary()
+                    for cid in cids:
+                        preds[cid] = _emit_dc(
+                            wtr, zzs[cid][my * bw[cid] + mx][0],
+                            preds[cid], ah, al)
+                    rst["n"] += 1
+        else:
+            mcus_x, mcus_y = bw[1] // 2, len(zzs[1]) // bw[1] // 2
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    _boundary()
+                    for dy in range(2):
+                        for dx in range(2):
+                            idx = (my * 2 + dy) * bw[1] + mx * 2 + dx
+                            preds[1] = _emit_dc(wtr, zzs[1][idx][0],
+                                                preds[1], ah, al)
+                    for cid in (2, 3):
+                        preds[cid] = _emit_dc(
+                            wtr, zzs[cid][my * bw[cid] + mx][0],
+                            preds[cid], ah, al)
+                    rst["n"] += 1
+    else:                                      # non-interleaved (1 comp)
+        cid = cids[0]
+        bx, by = grids[cid]
+        for row in range(by):
+            for col in range(bx):
+                _boundary()
+                zz = zzs[cid][row * bw[cid] + col]
+                if ss == 0:
+                    preds[cid] = _emit_dc(wtr, zz[0], preds[cid], ah, al)
+                elif ah == 0:
+                    _ac_first_block(st, zz, ss, se, al)
+                else:
+                    _ac_refine_block(st, zz, ss, se, al)
+                rst["n"] += 1
+    st.flush()
+    wtr.flush()
+    return bytes(wtr.buf)
+
+
+def _emit_progressive_scans(out: bytearray, gray: bool, subsample: str,
+                            zzs, bw, dims,
+                            restart_interval: int) -> None:
+    """The scan script: DC first (Al=1, interleaved for color), per-band
+    AC first passes, DC refinement, then AC refinements down to Al=0 —
+    every Annex G scan kind, in a spec-valid successive-approximation
+    order (each coefficient's Ah always equals its previous Al)."""
+    h, w = dims
+    if gray:
+        script = [((1,), 0, 0, 0, 1), ((1,), 1, 63, 0, 2),
+                  ((1,), 0, 0, 1, 0), ((1,), 1, 63, 2, 1),
+                  ((1,), 1, 63, 1, 0)]
+    else:
+        script = [((1, 2, 3), 0, 0, 0, 1),
+                  ((1,), 1, 5, 0, 2), ((1,), 6, 63, 0, 2),
+                  ((2,), 1, 63, 0, 1), ((3,), 1, 63, 0, 1),
+                  ((1, 2, 3), 0, 0, 1, 0),
+                  ((1,), 1, 63, 2, 1), ((1,), 1, 63, 1, 0),
+                  ((2,), 1, 63, 1, 0), ((3,), 1, 63, 1, 0)]
+    # non-interleaved scans cover the component's TRUE block extent
+    # (ceil of its sampled dims), not the MCU-padded grid
+    grids = {}
+    for cid in ([1] if gray else [1, 2, 3]):
+        if not gray and subsample == "420" and cid != 1:
+            cw, ch = -(-w // 2), -(-h // 2)
+        else:
+            cw, ch = w, h
+        grids[cid] = (-(-cw // 8), -(-ch // 8))
+    for cids, ss, se, ahv, alv in script:
+        sos = bytes([len(cids)])
+        for cid in cids:
+            t = 0 if cid == 1 else 1
+            sos += bytes([cid, (t << 4) | t])
+        sos += bytes([ss, se, (ahv << 4) | alv])
+        out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+        out += _encode_prog_scan(cids, ss, se, ahv, alv, zzs, bw, grids,
+                                 subsample, restart_interval)
 
 
 # --- decoder -------------------------------------------------------------------
@@ -453,22 +689,31 @@ def _decode_block(rdr: _BitReader, dc_tab: _HuffTable, ac_tab: _HuffTable,
 
 
 def decode_jpeg(payload: bytes) -> dict:
-    """Baseline JPEG → {"width", "height", "pix"} (grayscale uint8, same
-    integer-luma contract as the PNG decoder)."""
+    """Baseline (SOF0) or progressive (SOF2) JPEG → {"width", "height",
+    "pix"} (grayscale uint8, same integer-luma contract as the PNG
+    decoder)."""
     if not payload.startswith(b"\xff\xd8"):
         raise ValueError("not a jpeg (missing SOI)")
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
     htabs: dict[int, _HuffTable] = {}          # key: (class<<4)|id
     frame = None
+    progressive = False
+    prog = None                                # per-comp coefficient state
     restart_interval = 0
     n = len(payload)
-    while pos + 4 <= n:
+    while pos + 2 <= n:
         if payload[pos] != 0xFF:
             raise ValueError("jpeg marker desync")
         marker = payload[pos + 1]
-        if marker == 0xD9:                     # EOI before SOS
+        if marker == 0xD9:                     # EOI
+            if progressive:
+                if prog is None:
+                    raise ValueError("progressive jpeg with no scan")
+                return _prog_reconstruct(frame, prog, qtabs)
             break
+        if pos + 4 > n:
+            raise ValueError("jpeg segment overruns payload")
         (seglen,) = struct.unpack_from(">H", payload, pos + 2)
         if seglen < 2 or pos + 2 + seglen > n:
             raise ValueError("jpeg segment overruns payload")
@@ -502,7 +747,7 @@ def decode_jpeg(payload: bytes) -> dict:
                 htabs[tc_th] = _HuffTable(
                     bits, list(seg[off + 17:off + 17 + cnt]))
                 off += 17 + cnt
-        elif marker == 0xC0:                   # SOF0 baseline
+        elif marker in (0xC0, 0xC2):           # SOF0 baseline / SOF2 prog
             prec, fh, fw, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise ValueError("non-8-bit jpeg precision unsupported")
@@ -515,17 +760,27 @@ def decode_jpeg(payload: bytes) -> dict:
                 cid, samp, tq = seg[6 + 3 * i:9 + 3 * i]
                 comps.append((cid, samp >> 4, samp & 0x0F, tq))
             frame = (fh, fw, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            progressive = marker == 0xC2
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "only baseline sequential (SOF0) jpeg is supported")
+                "only baseline (SOF0) and progressive (SOF2) jpeg "
+                "are supported")
         elif marker == 0xDD:                   # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:                   # SOS — entropy data follows
-            return _decode_scan(payload, pos, seg, frame, qtabs, htabs,
-                                restart_interval)
+            if not progressive:
+                return _decode_scan(payload, pos, seg, frame, qtabs, htabs,
+                                    restart_interval)
+            if frame is None:
+                raise ValueError("jpeg SOS before SOF")
+            if prog is None:
+                prog = _prog_state(frame)
+            pos = _prog_scan(payload, pos, seg, frame, prog, htabs,
+                             restart_interval)
         # APPn / COM / others: skipped
-    raise ValueError("jpeg missing SOS scan")
+    raise ValueError("jpeg missing SOS scan"
+                     if not progressive else "progressive jpeg missing EOI")
 
 
 def _decode_scan(payload, pos, sos, frame, qtabs, htabs, restart_interval):
@@ -539,16 +794,7 @@ def _decode_scan(payload, pos, sos, frame, qtabs, htabs, restart_interval):
     for i in range(ns):
         cid, tt = sos[1 + 2 * i], sos[2 + 2 * i]
         scan_tabs[cid] = (tt >> 4, tt & 0x0F)
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    supported = {(1, 1)}
-    if len(comps) == 3:
-        supported |= {(2, 2)}
-    for _, hi, vi, _ in comps:
-        if (hi, vi) not in ((1, 1), (hmax, vmax)):
-            raise ValueError("unsupported jpeg sampling factors")
-    if (hmax, vmax) not in supported:
-        raise ValueError("unsupported jpeg sampling factors")
+    hmax, vmax = _check_sampling(comps)
 
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
     mcus_x = (fw + mcu_w - 1) // mcu_w
@@ -590,6 +836,26 @@ def _decode_scan(payload, pos, sos, frame, qtabs, htabs, restart_interval):
                         planes[cid][y0:y0 + 8, x0:x0 + 8] = blk
             mcu_i += 1
 
+    return _planes_to_output(fh, fw, comps, planes, hmax, vmax)
+
+
+def _check_sampling(comps) -> tuple[int, int]:
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    supported = {(1, 1)}
+    if len(comps) == 3:
+        supported |= {(2, 2)}
+    for _, hi, vi, _ in comps:
+        if (hi, vi) not in ((1, 1), (hmax, vmax)):
+            raise ValueError("unsupported jpeg sampling factors")
+    if (hmax, vmax) not in supported:
+        raise ValueError("unsupported jpeg sampling factors")
+    return hmax, vmax
+
+
+def _planes_to_output(fh, fw, comps, planes, hmax, vmax) -> dict:
+    """Shared tail of both decode paths: clip, chroma-upsample, YCbCr →
+    integer-luma grayscale."""
     for cid in planes:
         planes[cid] = np.clip(planes[cid], 0, 255)
     if len(comps) == 1:
@@ -597,10 +863,11 @@ def _decode_scan(payload, pos, sos, frame, qtabs, htabs, restart_interval):
     else:
         ordered = sorted(comps, key=lambda c: c[0])
         y_id, cb_id, cr_id = (c[0] for c in ordered)
+        samp = {c[0]: (c[1], c[2]) for c in comps}
         yp = planes[y_id]
         cb = planes[cb_id]
         cr = planes[cr_id]
-        if bwidths[cb_id][0] != hmax:          # upsample chroma (replicate)
+        if samp[cb_id][0] != hmax:             # upsample chroma (replicate)
             cb = np.repeat(np.repeat(cb, vmax, 0), hmax, 1)
             cr = np.repeat(np.repeat(cr, vmax, 0), hmax, 1)
         yp, cb, cr = (p[:fh, :fw] for p in (yp, cb, cr))
@@ -611,3 +878,221 @@ def _decode_scan(payload, pos, sos, frame, qtabs, htabs, restart_interval):
         gray = (299 * r + 587 * g + 114 * b) // 1000
     return {"media_type": "image", "width": int(fw), "height": int(fh),
             "pix": gray.astype(np.uint8).reshape(-1)}
+
+
+# --- progressive decoding (ITU-T.81 Annex G) -----------------------------------
+# Scans accumulate into per-component zigzag coefficient buffers; the IDCT
+# runs ONCE at EOI over the final coefficients (vectorized per component).
+# DC uses the arithmetic-shift point transform (G.1.2.1: stored value is
+# diff-chain << Al, refinement ORs bit Al in two's complement); AC uses
+# sign-magnitude (G.1.2.2/3: first scan stores extend(v) << Al, refinement
+# adds ±1<<Al toward larger magnitude on a 1-bit).
+
+
+def _prog_state(frame) -> dict:
+    fh, fw, comps = frame
+    hmax, vmax = _check_sampling(comps)
+    mcus_x = (fw + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (fh + 8 * vmax - 1) // (8 * vmax)
+    state = {}
+    for cid, hi, vi, tq in comps:
+        rows, cols = mcus_y * vi, mcus_x * hi  # MCU-padded block grid
+        cw = -(-fw * hi // hmax)               # true component dims
+        ch = -(-fh * vi // vmax)
+        state[cid] = {"coef": np.zeros((rows * cols, 64), np.int64),
+                      "cols": cols, "rows": rows,
+                      "bx": -(-cw // 8), "by": -(-ch // 8),
+                      "hi": hi, "vi": vi}
+    return {"comps": state, "hmax": hmax, "vmax": vmax,
+            "mcus": (mcus_x, mcus_y)}
+
+
+def _prog_dc_block(rdr, dct, coef_row, pred: int, ah: int, al: int) -> int:
+    if ah == 0:                                # first scan
+        size = dct.decode(rdr)
+        if size > 11:
+            raise ValueError("jpeg DC category out of range")
+        pred += _extend(rdr.bits(size), size)
+        coef_row[0] = pred << al
+        return pred
+    coef_row[0] |= rdr.bit() << al             # refinement bit
+    return pred
+
+
+def _prog_ac_first_block(rdr, act, coef_row, ss, se, al, eobrun) -> int:
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = act.decode(rdr)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:                        # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1              # EOBn: this block + run
+            if r:
+                eobrun += rdr.bits(r)
+            break
+        k += r
+        if k > se or s > 10:
+            raise ValueError("jpeg AC run/size out of range")
+        coef_row[k] = _extend(rdr.bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _prog_ac_refine_block(rdr, act, coef_row, ss, se, al, eobrun) -> int:
+    p1 = 1 << al
+
+    def _correct(k: int) -> None:
+        if rdr.bit() and (int(coef_row[k]) & p1) == 0:
+            coef_row[k] += p1 if coef_row[k] >= 0 else -p1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = act.decode(rdr)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r < 15:                     # EOBn — rest is corrections
+                    # counts THIS block too: the corrections tail below
+                    # consumes it and decrements (unlike the first-scan
+                    # path, which has no tail and pre-decrements)
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += rdr.bits(r)
+                    break
+                val = 0                        # ZRL: 16 zero-history skips
+            elif s == 1:
+                val = p1 if rdr.bit() else -p1
+            else:
+                raise ValueError("jpeg AC refinement size must be 1")
+            while k <= se:                     # advance r zero-history
+                if coef_row[k] != 0:
+                    _correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                coef_row[k] = val
+            k += 1
+    if eobrun > 0:                             # EOB run: corrections only
+        while k <= se:
+            if coef_row[k] != 0:
+                _correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _prog_scan(payload, pos, sos, frame, prog, htabs,
+               restart_interval) -> int:
+    """Decode one progressive SOS; returns the payload offset of the next
+    marker."""
+    fh, fw, comps = frame
+    ns = sos[0]
+    scan = []
+    for i in range(ns):
+        cid, tt = sos[1 + 2 * i], sos[2 + 2 * i]
+        scan.append((cid, tt >> 4, tt & 0x0F))
+    ss, se, a = sos[1 + 2 * ns], sos[2 + 2 * ns], sos[3 + 2 * ns]
+    ah, al = a >> 4, a & 0x0F
+    if ss > se or se > 63 or al > 13:
+        raise ValueError("jpeg bad progressive scan header")
+    if ss == 0 and se != 0:
+        raise ValueError("jpeg DC scan must have Se=0")
+    if ss > 0 and ns != 1:
+        raise ValueError("jpeg AC scans must be non-interleaved")
+    cgeo = prog["comps"]
+    for cid, *_ in scan:
+        if cid not in cgeo:
+            raise ValueError("jpeg scan references unknown component")
+
+    rdr = _BitReader(payload, pos)
+    rst = 0
+    counter = 0                                # MCUs (interleaved) / blocks
+    preds = {cid: 0 for cid, *_ in scan}
+    eobrun = 0
+
+    def _tab(kind: int, tid: int) -> _HuffTable:
+        t = htabs.get(kind | tid)
+        if t is None:
+            raise ValueError("jpeg references a missing DHT table")
+        return t
+
+    def _maybe_restart() -> None:
+        nonlocal rst, preds, eobrun
+        if restart_interval and counter and counter % restart_interval == 0:
+            rdr.align_restart(rst)
+            rst = (rst + 1) % 8
+            preds = {cid: 0 for cid, *_ in scan}
+            eobrun = 0
+
+    if ss == 0 and ns > 1:                     # interleaved DC scan
+        mcus_x, mcus_y = prog["mcus"]
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                _maybe_restart()
+                for cid, dc_id, _ in scan:
+                    g = cgeo[cid]
+                    dct = _tab(0x00, dc_id) if ah == 0 else None
+                    for by in range(g["vi"]):
+                        for bx in range(g["hi"]):
+                            bidx = ((my * g["vi"] + by) * g["cols"]
+                                    + mx * g["hi"] + bx)
+                            preds[cid] = _prog_dc_block(
+                                rdr, dct, g["coef"][bidx], preds[cid],
+                                ah, al)
+                counter += 1
+    else:                                      # non-interleaved (1 comp)
+        cid, dc_id, ac_id = scan[0]
+        g = cgeo[cid]
+        dct = _tab(0x00, dc_id) if ss == 0 and ah == 0 else None
+        act = _tab(0x10, ac_id) if ss > 0 else None
+        for row in range(g["by"]):
+            for col in range(g["bx"]):
+                _maybe_restart()
+                coef_row = g["coef"][row * g["cols"] + col]
+                if ss == 0:
+                    preds[cid] = _prog_dc_block(rdr, dct, coef_row,
+                                                preds[cid], ah, al)
+                elif ah == 0:
+                    eobrun = _prog_ac_first_block(rdr, act, coef_row,
+                                                  ss, se, al, eobrun)
+                else:
+                    eobrun = _prog_ac_refine_block(rdr, act, coef_row,
+                                                   ss, se, al, eobrun)
+                counter += 1
+    return _next_marker(payload, rdr.pos)
+
+
+def _next_marker(payload: bytes, pos: int) -> int:
+    n = len(payload)
+    while pos + 1 < n:
+        b = payload[pos + 1]
+        if (payload[pos] == 0xFF and b != 0x00
+                and not (0xD0 <= b <= 0xD7)):
+            return pos
+        pos += 1
+    raise ValueError("jpeg truncated after progressive scan")
+
+
+def _prog_reconstruct(frame, prog, qtabs) -> dict:
+    fh, fw, comps = frame
+    planes = {}
+    for cid, hi, vi, tq in comps:
+        if tq not in qtabs:
+            raise ValueError("jpeg references a missing quant table")
+        g = prog["comps"][cid]
+        nblk = g["rows"] * g["cols"]
+        coefs = (g["coef"][:, _UNZIG_FLAT].reshape(nblk, 8, 8)
+                 * qtabs[tq][None, :, :])
+        blk = _idct_blocks(coefs) + 128
+        planes[cid] = (blk.reshape(g["rows"], g["cols"], 8, 8)
+                       .transpose(0, 2, 1, 3)
+                       .reshape(g["rows"] * 8, g["cols"] * 8))
+    return _planes_to_output(fh, fw, comps, planes,
+                             prog["hmax"], prog["vmax"])

@@ -418,10 +418,11 @@ def build_fake_audio(sample_rate: int, n_samples: int, seed: int = 0) -> bytes:
 
 
 def build_jpeg(w: int, h: int, seed: int = 0, color: bool = True,
-               subsample: str = "444", restart_interval: int = 0) -> bytes:
-    """REAL baseline JPEG bytes (deterministic smooth-gradient pixels —
-    JPEG is lossy, so fixtures use low-frequency content the codec
-    round-trips within its quant error)."""
+               subsample: str = "444", restart_interval: int = 0,
+               progressive: bool = False) -> bytes:
+    """REAL baseline or progressive JPEG bytes (deterministic
+    smooth-gradient pixels — JPEG is lossy, so fixtures use low-frequency
+    content the codec round-trips within its quant error)."""
     from docling_rag_spark.operators.jpeg import encode_jpeg
     yy, xx = np.mgrid[0:h, 0:w]
     base = 128 + 9 * ((yy + seed) % 13) - 7 * ((xx + 2 * seed) % 11)
@@ -431,7 +432,8 @@ def build_jpeg(w: int, h: int, seed: int = 0, color: bool = True,
     else:
         pix = np.clip(base, 0, 255).astype(np.uint8)
     return encode_jpeg(pix, subsample=subsample,
-                       restart_interval=restart_interval)
+                       restart_interval=restart_interval,
+                       progressive=progressive)
 
 
 def build_wav(sample_rate: int, n_samples: int, seed: int = 0,

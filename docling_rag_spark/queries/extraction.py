@@ -367,13 +367,14 @@ def _fake_media(spark, sf_dir):
                         color_type=(0, 2, 4, 6)[(int(did) // 6) % 4],
                         filter_type=(int(did) // 24) % 5))
                 elif kind == 4:
-                    # REAL baseline JPEG, rotating gray/444/420 and the
-                    # restart-marker path
+                    # REAL JPEG, rotating gray/444/420, the restart-marker
+                    # path, and baseline (SOF0) vs progressive (SOF2)
                     payloads.append(build_jpeg(
                         19, 14, seed=int(did),
                         color=(int(did) // 6) % 3 != 0,
                         subsample=("444", "420")[(int(did) // 6) % 2],
-                        restart_interval=(0, 2)[(int(did) // 12) % 2]))
+                        restart_interval=(0, 2)[(int(did) // 12) % 2],
+                        progressive=bool((int(did) // 18) % 2)))
                 else:
                     # REAL RIFF/WAVE PCM, rotating channels and bit depth
                     payloads.append(build_wav(

@@ -72,11 +72,50 @@ def test_zigzag_is_the_standard_order():
     assert sorted(_ZIGZAG) == [(u, v) for u in range(8) for v in range(8)]
 
 
-def test_progressive_sof_is_an_explicit_error():
+@pytest.mark.parametrize("shape,kwargs", [
+    ((24, 17), {}),                                    # gray, ragged dims
+    ((16, 16, 3), {}),                                 # 4:4:4
+    ((33, 22, 3), {"subsample": "420"}),               # 4:2:0, ragged
+    ((40, 40), {"restart_interval": 3}),               # DRI + RSTn
+    ((32, 48, 3), {"subsample": "420", "restart_interval": 2}),
+    ((8, 8), {}),                                      # single block
+])
+def test_progressive_decodes_bit_identical_to_baseline(shape, kwargs):
+    """The SOF2 multi-scan path (DC/AC first + refinement, EOB runs)
+    reconstructs the EXACT coefficients the baseline scan carries, so the
+    decoded pixels are bit-identical between the two encodings of the
+    same image."""
+    img = _smooth(*shape[:2], channels=(shape[2] if len(shape) == 3
+                                        else None))
+    base = decode_jpeg(encode_jpeg(img, **kwargs))
+    prog_bytes = encode_jpeg(img, progressive=True, **kwargs)
+    assert b"\xff\xc2" in prog_bytes           # really SOF2
+    assert prog_bytes.count(b"\xff\xda") >= 4  # really multi-scan
+    prog = decode_jpeg(prog_bytes)
+    assert (prog["width"], prog["height"]) == (base["width"],
+                                               base["height"])
+    assert np.array_equal(prog["pix"], base["pix"])
+
+
+def test_progressive_missing_eoi_is_an_explicit_error():
+    enc = encode_jpeg(_smooth(16, 16, channels=3), progressive=True)
+    # drop EOI and everything after the second scan's data
+    second_sos = enc.index(b"\xff\xda", enc.index(b"\xff\xda") + 2)
+    with pytest.raises(ValueError):
+        decode_jpeg(enc[:second_sos + 40])
+
+
+def test_progressive_encode_is_deterministic():
+    img = _smooth(20, 20, channels=3)
+    assert (encode_jpeg(img, progressive=True)
+            == encode_jpeg(img.copy(), progressive=True))
+
+
+def test_other_sof_modes_are_an_explicit_error():
     enc = bytearray(encode_jpeg(_smooth(8, 8)))
     sof = enc.index(b"\xff\xc0")
-    enc[sof + 1] = 0xC2                        # SOF0 -> SOF2 (progressive)
-    with pytest.raises(ValueError, match="baseline"):
+    enc[sof + 1] = 0xC3                        # SOF3 (lossless)
+    with pytest.raises(ValueError, match="SOF0"):
         decode_jpeg(bytes(enc))
 
 
