@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "vec_lsh_multiprobe",
     "vec_ivf_topk",
     "vec_lsh_multitable",
+    "vec_ivf_pq_topk",
     "vec_recall_at_k",
     "events_asof_join",
     "url_canonical_cap",

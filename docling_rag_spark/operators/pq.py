@@ -35,6 +35,7 @@ import numpy as np
 
 PQ_M = 8          # subspaces (d=64 → 8 dims each)
 PQ_K = 16         # centroids per subspace → 4-bit codes, M bytes/vector
+PQ_COARSE_CELLS = 16  # trained IVF cells partitioning the codes table
 PQ_ITERS = 15     # fixed Lloyd iterations (no convergence test → no
                   # data-dependent iteration count to destabilize parity)
 PQ_SAMPLE = 4096  # training-sample cap (bounded driver collect: ≤ 1 MiB)

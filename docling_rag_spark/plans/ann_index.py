@@ -145,9 +145,27 @@ def query_vector(sf_dir: str, vec_id: int):
     return [float(v.as_py()) for v in t["embedding"][0].values]
 
 
+def argmin_l2_col(vec_col, cents):
+    """0-based index of the nearest centroid: left-fold squared L2 per
+    centroid (term order = zip_with element order, fold = F.aggregate),
+    first-argmin via array_position(min) — the exact numerics of
+    operators/pq.py's _fold_sq_dists + np.argmin."""
+    from pyspark.sql import functions as F
+
+    dists = F.array(*[
+        F.aggregate(
+            F.zip_with(vec_col,
+                       F.array(*[F.lit(float(v)) for v in cent]),
+                       lambda x, c: (x.cast("double") - c)
+                       * (x.cast("double") - c)),
+            F.lit(0.0), lambda acc, t: acc + t)
+        for cent in cents])
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
 def build_ann_index(spark, embeddings_df, out_dir: str,
                     id_cols: tuple[str, ...] = ("vec_id", "label")) -> None:
-    """Write the two physically-partitioned index tables, carrying
+    """Write the physically-partitioned index tables, carrying
     ``id_cols`` alongside the vectors (the serving tier indexes by natural
     key (url, chunk_id); the oracle tables by (vec_id, label)). One
     map-only job each (no shuffle: partitionBy on write splits files per
@@ -165,6 +183,49 @@ def build_ann_index(spark, embeddings_df, out_dir: str,
     # build is a one-time job, so trade JIT throughput for zero compile.
     with interpreted_eval(spark):
         _write_index_tables(spark, base, dim, out_dir)
+        _write_pq_table(spark, base, dim, out_dir, id_cols)
+
+
+def _write_pq_table(spark, base, dim: int, out_dir: str,
+                    id_cols: tuple[str, ...]) -> None:
+    """The memory-bound tier of the index (IVF-PQ, Jégou TPAMI 2011):
+    trained coarse cells partition the table, PQ codes (array<tinyint>,
+    M bytes of payload per vector vs dim×4 raw — 16-32× smaller) are all
+    a query's candidate-ranking scan reads; raw vectors are fetched only
+    for the final rerank join. Codebooks train on a bounded deterministic
+    sample (id-ordered prefix, ≤ PQ_SAMPLE rows ≈ 1 MiB collected) and
+    ship in a JSON sidecar so query time never retrains. Dims not
+    divisible by PQ_M get a sidecar marked skipped (no pq/ dir)."""
+    import json
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from docling_rag_spark.operators import pq as PQ
+
+    sidecar = os.path.join(out_dir, "pq_books.json")
+    os.makedirs(out_dir, exist_ok=True)
+    if dim == 0 or dim % PQ.PQ_M:
+        with open(sidecar, "w") as f:
+            json.dump({"skipped": f"dim {dim} % PQ_M {PQ.PQ_M} != 0"}, f)
+        return
+    rows = (base.orderBy(*id_cols).limit(PQ.PQ_SAMPLE)
+            .select("embedding").collect())
+    sample = np.array([r[0] for r in rows], dtype=np.float64)
+    coarse = PQ.train_coarse(sample, PQ.PQ_COARSE_CELLS)
+    books = PQ.train_codebooks(sample)
+    sd = dim // PQ.PQ_M
+    codes = F.array(*[
+        argmin_l2_col(F.slice(F.col("embedding"), m * sd + 1, sd),
+                      books[m]).cast("tinyint")
+        for m in range(PQ.PQ_M)])
+    (base.select(*id_cols,
+                 argmin_l2_col(F.col("embedding"), coarse).alias("cell"),
+                 codes.alias("codes"))
+     .write.partitionBy("cell").mode("overwrite")
+     .parquet(os.path.join(out_dir, "pq")))
+    with open(sidecar, "w") as f:
+        json.dump({"dim": dim, "coarse": coarse, "books": books}, f)
 
 
 def _write_index_tables(spark, base, dim: int, out_dir: str) -> None:
@@ -205,14 +266,15 @@ def ensure_index(spark, sf_dir: str) -> str:
     # would otherwise leave another multi-hundred-MB dead index behind)
     path_key = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:12]
     state_key = hashlib.md5(
-        f"{st.st_mtime_ns}|{st.st_size}|v2".encode()).hexdigest()[:12]
+        f"{st.st_mtime_ns}|{st.st_size}|v3".encode()).hexdigest()[:12]
     key = f"{path_key}-{state_key}"
     root = os.environ.get("SPARK_GRAFT_ANN_DIR",
                           os.path.join(tempfile.gettempdir(),
                                        "spark_graft_ann"))
     final = os.path.join(root, key)
-    if all(os.path.isdir(os.path.join(final, t))
-           for t in ("lsh", "ivf", "mt")):
+    if (all(os.path.isdir(os.path.join(final, t))
+            for t in ("lsh", "ivf", "mt"))
+            and os.path.isfile(os.path.join(final, "pq_books.json"))):
         return final
     os.makedirs(root, exist_ok=True)
     tmp = os.path.join(root, f".build-{uuid.uuid4().hex[:12]}")

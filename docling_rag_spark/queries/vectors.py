@@ -615,67 +615,37 @@ FROM embeddings GROUP BY 1
 
 # --- IVF-PQ hybrid (memory-bound ANN; VERDICT r4 "missing #3") ---------------
 
-_PQ_CELLS = 16    # trained coarse-quantizer cells
-_PQ_PROBES = 4    # cells scanned per query (4× pruning)
+_PQ_PROBES = 4    # cells scanned per query (4× pruning of PQ_COARSE_CELLS)
 _PQ_RERANK = 128  # ADC candidates re-ranked with exact cosine
-
-_PQ_BOOKS_CACHE: dict[str, tuple] = {}
 
 
 def _pq_books(spark, sf_dir):
-    """Train-once-per-table coarse quantizer + PQ codebooks from a
-    bounded deterministic sample (every step-th vec_id, ≤ PQ_SAMPLE rows
-    ≈ 1 MiB collected — the same bounded-collect class as the k-means
-    centroids audit). At warehouse scale this is a one-off index-build
-    step whose output is broadcast; here it is memoized per sf_dir."""
-    from docling_rag_spark.operators import pq as PQ
-    if sf_dir in _PQ_BOOKS_CACHE:
-        return _PQ_BOOKS_CACHE[sf_dir]
-    import numpy as np
-    emb = _t(spark, sf_dir, "embeddings")
-    n = emb.count()
-    step = max(1, n // PQ.PQ_SAMPLE)
-    rows = (emb.filter(F.col("vec_id") % step == 0)
-            .orderBy("vec_id").limit(PQ.PQ_SAMPLE)
-            .select("embedding").collect())
-    sample = np.array([r[0] for r in rows], dtype=np.float64)
-    out = (PQ.train_coarse(sample, _PQ_CELLS), PQ.train_codebooks(sample))
-    _PQ_BOOKS_CACHE[sf_dir] = out
-    return out
+    """(coarse, books) from the materialized index's JSON sidecar —
+    trained once at build time (plans/ann_index._write_pq_table), never
+    at query time. JSON round-trips IEEE doubles exactly, so the floats
+    here are bit-identical to the ones the build's encode expressions
+    used."""
+    import json
 
-
-def _argmin_l2(vec_col, cents):
-    """0-based index of the nearest centroid: left-fold squared L2 per
-    centroid (term order = zip_with element order, fold = F.aggregate),
-    first-argmin via array_position(min) — the exact numerics of
-    operators/pq.py's _fold_sq_dists + np.argmin."""
-    dists = F.array(*[
-        F.aggregate(
-            F.zip_with(vec_col,
-                       F.array(*[F.lit(float(v)) for v in cent]),
-                       lambda x, c: (x.cast("double") - c)
-                       * (x.cast("double") - c)),
-            F.lit(0.0), lambda acc, t: acc + t)
-        for cent in cents])
-    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-
-
-def _pq_code_cols(emb_col, books):
-    """One 0-based code column per subspace."""
-    from docling_rag_spark.operators import pq as PQ
-    sd = PQ.subdim(64)
-    return [_argmin_l2(F.slice(emb_col, m * sd + 1, sd), books[m])
-            for m in range(PQ.PQ_M)]
+    from docling_rag_spark.plans import ann_index as AI
+    idx = AI.ensure_index(spark, sf_dir)
+    with open(f"{idx}/pq_books.json") as f:
+        side = json.load(f)
+    if "skipped" in side:
+        raise ValueError(f"pq index unavailable: {side['skipped']}")
+    return side["coarse"], side["books"]
 
 
 def vec_ivf_pq_topk(spark, sf_dir):
-    """IVF-PQ top-k (Jégou et al., TPAMI 2011): a TRAINED coarse
-    quantizer prunes to the query's _PQ_PROBES nearest of _PQ_CELLS
-    cells, PQ codes + a broadcast M×K ADC lookup table rank the
-    survivors WITHOUT touching raw floats, exact cosine re-ranks the top
-    _PQ_RERANK. Map-only until the two TakeOrdered heaps — no shuffle,
-    no UDF; at scale the scan reads M-byte codes (16-32× less than raw
-    vectors), which is the entire point of PQ.
+    """IVF-PQ top-k (Jégou et al., TPAMI 2011) over the MATERIALIZED
+    codes table: the trained coarse quantizer's _PQ_PROBES nearest cells
+    select partitions (partition-pruned scan — plan-audited), and the
+    candidate-ranking scan reads ONLY M-byte PQ codes (16-32× less than
+    raw vectors — the entire point of PQ) scored through broadcast ADC
+    lookup tables. Raw vectors are touched once, in a broadcast join
+    that fetches the top-_PQ_RERANK rows for the exact-cosine rerank.
+    No shuffle anywhere: pruned scan → project → TakeOrdered →
+    BroadcastHashJoin → TakeOrdered.
 
     Numerics are pinned bit-for-bit against operators/pq.py's numpy
     reference (tests/test_pq.py): same left folds, same tie rules."""
@@ -693,33 +663,35 @@ def vec_ivf_pq_topk(spark, sf_dir):
     probes = sorted(range(len(coarse)),
                     key=lambda c: (q_cell_d[c], c))[:_PQ_PROBES]
 
-    emb = _t(spark, sf_dir, "embeddings")
-    codes = _pq_code_cols(F.col("embedding"), books)
+    idx = AI.ensure_index(spark, sf_dir)
+    codes_df = (spark.read.parquet(f"{idx}/pq")
+                .filter(F.col("cell").isin([int(p) for p in probes]))
+                .filter(F.col("vec_id") != _QUERY_VEC_ID))
     adc_dot, adc_norm2 = F.lit(0.0), F.lit(0.0)
     for m in range(PQ.PQ_M):
         dlut = F.array(*[F.lit(float(v)) for v in dot_lut[m]])
         nlut = F.array(*[F.lit(float(v)) for v in norm2_lut[m]])
-        adc_dot = adc_dot + F.element_at(dlut, codes[m] + 1)
-        adc_norm2 = adc_norm2 + F.element_at(nlut, codes[m] + 1)
+        code_idx = (F.element_at("codes", m + 1) + 1).cast("int")
+        adc_dot = adc_dot + F.element_at(dlut, code_idx)
+        adc_norm2 = adc_norm2 + F.element_at(nlut, code_idx)
     pq_e6 = F.floor(adc_dot / F.sqrt(adc_norm2) * 1000000.0).cast("bigint")
 
-    cand = (emb
-            .filter(_argmin_l2(F.col("embedding"), coarse)
-                    .isin([int(p) for p in probes]))
-            .filter(F.col("vec_id") != _QUERY_VEC_ID)
+    cand = (codes_df
             .select(F.col("vec_id").cast("bigint").alias("vec_id"),
                     F.col("label").cast("int").alias("label"),
-                    F.col("embedding"),
                     pq_e6.alias("pq_score_e6"))
             .orderBy(F.desc("pq_score_e6"), F.asc("vec_id"))
             .limit(_PQ_RERANK))
 
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("bigint").alias("vec_id"), "embedding")
     qlit = F.array(*[F.lit(v) for v in q_emb])
     cos = F.floor(_dot(F.col("embedding"), qlit)
                   / (_norm(F.col("embedding")) * _norm(qlit))
                   * 1000000.0).cast("bigint")
-    return (cand.select("vec_id", "label", cos.alias("score_e6"),
-                        "pq_score_e6")
+    return (emb.join(F.broadcast(cand), "vec_id")
+            .select("vec_id", "label", cos.alias("score_e6"),
+                    "pq_score_e6")
             .orderBy(F.desc("score_e6"), F.asc("vec_id")).limit(_TOPK))
 
 

@@ -133,14 +133,44 @@ def test_pq_adc_orders_before_exact_rerank(spark_rows):
 
 
 def test_pq_plan_is_maponly_takeordered(spark):
-    """No shuffle anywhere: scan → project(codes+ADC) → TakeOrdered(R)
-    → project(exact cosine) → TakeOrdered(k). PQ moves candidate
-    ranking into a map-only expression; an Exchange here would mean the
-    design regressed to a shuffle."""
+    """No shuffle anywhere: pruned codes scan → project(ADC via LUTs) →
+    TakeOrdered(R) → BroadcastHashJoin (raw-vector fetch for rerank) →
+    TakeOrdered(k). A hash/range repartition here would mean the design
+    regressed to a shuffle; the only allowed Exchange is the broadcast
+    of the 128-row candidate set."""
     plan = V.vec_ivf_pq_topk(spark, SF_DIR)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
-    assert "Exchange" not in plan, plan
+    assert "BroadcastHashJoin" in plan
+    assert "hashpartitioning" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_pq_scan_is_partition_pruned_codes_only(spark):
+    """The candidate-ranking scan must read only the probe cells'
+    partitions of the CODES table: the executed codes scan selects
+    exactly _PQ_PROBES of PQ_COARSE_CELLS partitions (Catalyst recorded
+    a PartitionFilter on cell), and its read schema carries no embedding
+    column — raw floats enter only via the rerank join's scan."""
+    import re
+
+    df = V.vec_ivf_pq_topk(spark, SF_DIR)
+    qe = df._jdf.queryExecution()
+    plan = qe.executedPlan()
+    if plan.nodeName() == "AdaptiveSparkPlan":
+        plan = plan.executedPlan()
+    leaves = plan.collectLeaves()
+    scans = [leaves.apply(i) for i in range(leaves.length())
+             if "parquet" in leaves.apply(i).nodeName().lower()]
+    codes_scans = [s for s in scans if "/pq" in s.toString()]
+    assert codes_scans, "codes table not in the scan at all"
+    n_sel = codes_scans[0].selectedPartitions().partitionCount()
+    assert n_sel == V._PQ_PROBES, n_sel
+    assert "embedding" not in codes_scans[0].schema().simpleString()
+    fplan = qe.explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert re.search(r"PartitionFilters: \[.*cell", fplan), fplan
 
 
 def test_codebook_training_deterministic():
