@@ -756,7 +756,8 @@ def _delete_from_ann(spark: SparkSession, out_dir: str, urls_df,
     with wh.commit_lock(os.path.join(out_dir, "_compaction"),
                         timeout=60.0, stale_sec=3600.0):
         for sub, part_cols in (("lsh", ["bucket"]), ("ivf", ["cell"]),
-                               ("mt", ["table", "bucket"])):
+                               ("mt", ["table", "bucket"]),
+                               ("pq", ["cell"])):
             table_dir = os.path.join(ann_root, sub)
             wh.recover_swap(table_dir)
             if os.path.isdir(table_dir):

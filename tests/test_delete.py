@@ -87,7 +87,11 @@ def test_delete_cascades_into_ann_index(spark, tmp_path):
     victims = sorted(_chunk_urls(spark, out))[:2]
     report = delete_urls(spark, out, victims, num_buckets=8)
     assert report["ann_rows_deleted"].get("ann/lsh", 0) > 0
-    for sub in ("lsh", "ivf", "mt"):
+    # pq (IVF-PQ codes table) must cascade too — a stale codes table would
+    # keep ADC-ranking deleted chunks even after lsh/ivf/mt forget them
+    assert os.path.isdir(os.path.join(out, "ann", "pq"))
+    assert report["ann_rows_deleted"].get("ann/pq", 0) > 0
+    for sub in ("lsh", "ivf", "mt", "pq"):
         idx_urls = {r["url"] for r in
                     spark.read.parquet(os.path.join(out, "ann", sub))
                     .select("url").distinct().collect()}
