@@ -232,9 +232,16 @@ def dedup_ngram_jaccard(spark, sf_dir, df_cap: int | None = _JACCARD_DF_CAP,
     sb = sizes.select(F.col("doc_id").alias("doc_b"),
                       F.col("n_sh").alias("n_b"))
     return (shared.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("den", F.col("n_a") + F.col("n_b") - F.col("shared"))
+            # den > 0 always holds on a well-formed corpus (doc_id unique
+            # => union >= max(n_a, n_b) >= 1). Duplicate doc_id ROWS
+            # (malformed input) double both posting and pair counts and
+            # drive den to 0 or negative; under ANSI mode the division
+            # then aborts the whole job. Guard first so bad input
+            # degrades to dropped pairs, not a crash (oracle mirrors).
+            .filter(F.col("den") > 0)
             .withColumn("jaccard_bp", F.floor(
-                F.col("shared") * F.lit(10000.0)
-                / (F.col("n_a") + F.col("n_b") - F.col("shared")))
+                F.col("shared") * F.lit(10000.0) / F.col("den"))
                 .cast("bigint"))
             .filter(F.col("jaccard_bp") >= min_bp)
             .select("doc_a", "doc_b", "shared", "jaccard_bp"))
@@ -254,7 +261,8 @@ SELECT doc_a, doc_b, shared,
 FROM shared
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE floor(shared * 10000.0 / (sa.n_sh + sb.n_sh - shared)) >= {_JACCARD_MIN_BP}
+WHERE (sa.n_sh + sb.n_sh - shared) > 0
+  AND floor(shared * 10000.0 / (sa.n_sh + sb.n_sh - shared)) >= {_JACCARD_MIN_BP}
 """
 
 

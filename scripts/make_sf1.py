@@ -50,6 +50,21 @@ def main() -> int:
         print(f"{t}: copied")
     for t, keys in SHIFT_COLS.items():
         base = spark.read.parquet(f"{SRC}/{t}.parquet")
+        # Precondition: every key this script shifts must live below
+        # KEY_STRIDE in the SOURCE, or replica offsets collide. This is
+        # not hypothetical: pointing SRC at an already-replicated set
+        # (sf1 -> "sf10") re-shifts ids that already carry a replica
+        # offset, and (j + k) sums alias — a 10-replica pass over a
+        # 10-replica source produced 500k rows with only 95k distinct
+        # doc_ids, which downstream turned into jaccard denominators of
+        # zero. Scale-up must always re-derive from the unshifted base.
+        for c in keys:
+            mx = base.agg(F.max(c)).first()[0]
+            if mx is not None and mx >= KEY_STRIDE:
+                raise SystemExit(
+                    f"{t}.{c} max {mx} >= KEY_STRIDE {KEY_STRIDE}: "
+                    f"SRC {SRC} is already replica-shifted — regenerate "
+                    f"from the unshifted base (e.g. /root/testdata/sf0.1)")
         parts = []
         for k in range(REPLICAS):
             rep = base
@@ -70,6 +85,17 @@ def main() -> int:
         for p in parts[1:]:
             out = out.unionByName(p)
         out.write.mode("overwrite").parquet(f"{DST}/{t}.parquet")
+        # Postcondition on the WRITTEN files (also catches a dir mixing
+        # part-files from two writes): tables whose first shift key is a
+        # primary key must come back duplicate-free.
+        if t not in ("lineitem",):   # l_orderkey is a legitimate FK dup
+            chk = spark.read.parquet(f"{DST}/{t}.parquet")
+            n, nd = chk.agg(F.count(keys[0]),
+                            F.countDistinct(keys[0])).first()
+            if n != nd:
+                raise SystemExit(
+                    f"{t}: {n} rows but {nd} distinct {keys[0]} after "
+                    f"replication — output is corrupt")
         print(f"{t}: x{REPLICAS}")
     spark.stop()
     print(f"sf1 written to {DST}")
