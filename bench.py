@@ -137,7 +137,9 @@ def merge_best(best: dict, fresh: dict, fingerprint: dict) -> dict:
         best = {"fingerprint": fingerprint, "tiers": {}}
     tiers = best["tiers"]
     for tier, payload in fresh.items():
-        newq = (payload or {}).get("queries") or {}
+        if not isinstance(payload, dict) or "queries" not in payload:
+            continue   # non-tier detail keys (e.g. regressions_vs_committed)
+        newq = payload.get("queries") or {}
         cur = tiers.setdefault(tier, {})
         for q, v in newq.items():
             cur[q] = min(cur[q], v) if q in cur else v
