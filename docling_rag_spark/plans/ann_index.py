@@ -193,9 +193,14 @@ def _write_pq_table(spark, base, dim: int, out_dir: str,
     M bytes of payload per vector vs dim×4 raw — 16-32× smaller) are all
     a query's candidate-ranking scan reads; raw vectors are fetched only
     for the final rerank join. Codebooks train on a bounded deterministic
-    sample (id-ordered prefix, ≤ PQ_SAMPLE rows ≈ 1 MiB collected) and
-    ship in a JSON sidecar so query time never retrains. Dims not
-    divisible by PQ_M get a sidecar marked skipped (no pq/ dir)."""
+    sample — the PQ_SAMPLE rows whose md5(id) sorts lowest (≈ 1 MiB
+    collected via TakeOrdered, no shuffle). Hash order makes the sample a
+    uniform pseudo-random subset of the WHOLE corpus: an id-ordered
+    prefix at 10^12 crawl scale would train the codebooks on the oldest
+    crawl slice only, and distribution drift between that slice and the
+    rest degrades every later cell assignment. Codebooks ship in a JSON
+    sidecar so query time never retrains. Dims not divisible by PQ_M get
+    a sidecar marked skipped (no pq/ dir)."""
     import json
 
     import numpy as np
@@ -209,7 +214,9 @@ def _write_pq_table(spark, base, dim: int, out_dir: str,
         with open(sidecar, "w") as f:
             json.dump({"skipped": f"dim {dim} % PQ_M {PQ.PQ_M} != 0"}, f)
         return
-    rows = (base.orderBy(*id_cols).limit(PQ.PQ_SAMPLE)
+    sample_key = F.md5(F.concat_ws(
+        "|", *[F.col(c).cast("string") for c in id_cols]))
+    rows = (base.orderBy(sample_key, *id_cols).limit(PQ.PQ_SAMPLE)
             .select("embedding").collect())
     sample = np.array([r[0] for r in rows], dtype=np.float64)
     coarse = PQ.train_coarse(sample, PQ.PQ_COARSE_CELLS)
@@ -266,7 +273,7 @@ def ensure_index(spark, sf_dir: str) -> str:
     # would otherwise leave another multi-hundred-MB dead index behind)
     path_key = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:12]
     state_key = hashlib.md5(
-        f"{st.st_mtime_ns}|{st.st_size}|v3".encode()).hexdigest()[:12]
+        f"{st.st_mtime_ns}|{st.st_size}|v4".encode()).hexdigest()[:12]
     key = f"{path_key}-{state_key}"
     root = os.environ.get("SPARK_GRAFT_ANN_DIR",
                           os.path.join(tempfile.gettempdir(),

@@ -20,8 +20,13 @@ These two operators add that tier:
   each final cluster, a vector is DROPPED when a smaller-id vector in
   the same cluster has quantized-cosine >= the threshold (keep-first
   canonicalization, mirroring dedup_keep_first). One shuffle on cluster
-  id into ``applyInPandas``; the per-group numpy gram matrix bounds the
-  quadratic to cluster size (~250), never the corpus.
+  id into ``applyInPandas`` for in-cap clusters (exact gram, ≤
+  _SEMDEDUP_CLUSTER_CAP members — ~250 is only the AVERAGE k-means
+  delivers); over-cap clusters (a template-farm mass of near-identical
+  embeddings lands in ONE cluster regardless of k) skip the Python
+  worker entirely and run a linear keyed join against the cluster's
+  _SEMDEDUP_PIVOTS smallest-id members, JVM-side fold cosine —
+  bit-identical to the DuckDB twin's big branch.
 
 Cross-engine correctness contract: the DuckDB twins re-derive the same
 two Lloyd rounds as unrolled CTEs with sequential (x - s/n)^2 folds.
@@ -140,9 +145,49 @@ def vec_kmeans_assign(spark, sf_dir):
 _SEMDEDUP_SCHEMA = ("cluster bigint, drop_id bigint, kept_by bigint, "
                     "max_cos_e6 bigint")
 
+# Per-cluster member cap before the pivot fallback. ~250/cluster is the
+# AVERAGE k-means delivers (k = n / _K_DIVISOR) — it is not a bound:
+# a template-farm mass of near-identical embeddings lands in ONE cluster
+# regardless of k (same structure the minhash/simhash band caps defend
+# against), and the full per-cluster gram is then O(m²) memory inside a
+# single applyInPandas worker. In-cap clusters keep the exact gram
+# (cap² doubles ≈ 8 MB); over-cap clusters degrade to the linear pivot
+# rule below, with the loss observable via vec_semdedup_cluster_stats.
+_SEMDEDUP_CLUSTER_CAP = 1000
+# Over-cap rule: each member is compared only against the cluster's
+# _SEMDEDUP_PIVOTS smallest-id members (m × pivots rows — linear, keyed
+# join, no Python materialization of the cluster). Keep-first semantics
+# are preserved exactly for the structure that creates over-cap clusters
+# (a near-identical mass matches pivot #1, the cluster's minimum id, so
+# the drop set and kept_by equal the uncapped answer — pytest-pinned);
+# recall is lost only for pairs whose BOTH endpoints are outside the
+# pivot set with no pivot near them.
+_SEMDEDUP_PIVOTS = 64
 
-def vec_semdedup_drop(spark, sf_dir):
+
+def _nrm_col(qv):
+    """sqrt of the sequentially-folded Σ qv_i² with the zero→1.0 guard —
+    the exact IEEE op sequence of the DuckDB twin's nq CTE (list_reduce
+    fold), so the over-cap pivot branch is bit-identical cross-engine
+    (no matmul reassociation, unlike the in-cap gram path)."""
+    s = F.aggregate(
+        F.transform(qv, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda a, b: a + b)
+    n = F.sqrt(s)
+    return F.when(n == F.lit(0.0), F.lit(1.0)).otherwise(n)
+
+
+def vec_semdedup_drop(spark, sf_dir,
+                      cluster_cap: int | None = _SEMDEDUP_CLUSTER_CAP,
+                      pivots: int = _SEMDEDUP_PIVOTS):
+    from pyspark.sql import Window
+
     a = _final_assignment(spark, sf_dir).select("vec_id", "qv", "cluster")
+    w = Window.partitionBy("cluster")
+    wr = w.orderBy("vec_id")
+    sized = a.select("vec_id", "qv", "cluster",
+                     F.count("*").over(w).alias("cn"),
+                     F.row_number().over(wr).alias("rk"))
 
     def per_cluster(pdf):
         pdf = pdf.sort_values("vec_id")
@@ -170,8 +215,65 @@ def vec_semdedup_drop(spark, sf_dir):
         out.insert(0, "cluster", int(pdf["cluster"].iloc[0]))
         return out
 
-    return a.groupBy("cluster").applyInPandas(per_cluster,
-                                              schema=_SEMDEDUP_SCHEMA)
+    small = sized if cluster_cap is None else sized.filter(
+        F.col("cn") <= cluster_cap)
+    res = (small.select("vec_id", "qv", "cluster")
+           .groupBy("cluster").applyInPandas(per_cluster,
+                                             schema=_SEMDEDUP_SCHEMA))
+    if cluster_cap is None:
+        return res
+
+    big = sized.filter(F.col("cn") > cluster_cap)
+    piv = (big.filter(F.col("rk") <= pivots)
+           .select("cluster", F.col("vec_id").alias("u_id"),
+                   F.col("qv").alias("u_qv"),
+                   _nrm_col(F.col("qv")).alias("u_nrm")))
+    v = big.select("cluster", F.col("vec_id").alias("drop_id"),
+                   F.col("qv").alias("v_qv"),
+                   _nrm_col(F.col("qv")).alias("v_nrm"))
+    cos_e6 = F.floor(
+        F.aggregate(
+            F.zip_with(F.col("u_qv"), F.col("v_qv"),
+                       lambda x, y: (x.cast("double") / F.col("u_nrm"))
+                       * (y.cast("double") / F.col("v_nrm"))),
+            F.lit(0.0), lambda acc, t: acc + t)
+        * F.lit(1000000.0)).cast("bigint")
+    over = (v.join(piv, "cluster")
+            .filter(F.col("u_id") < F.col("drop_id"))
+            .select("cluster", "drop_id", "u_id", cos_e6.alias("cos_e6"))
+            .filter(F.col("cos_e6") >= F.lit(_SEMDEDUP_MIN_E6))
+            .groupBy("cluster", "drop_id")
+            .agg(F.min("u_id").alias("kept_by"),
+                 F.max("cos_e6").alias("max_cos_e6"))
+            .select(F.col("cluster").cast("bigint").alias("cluster"),
+                    F.col("drop_id").cast("bigint").alias("drop_id"),
+                    F.col("kept_by").cast("bigint").alias("kept_by"),
+                    F.col("max_cos_e6").cast("bigint")
+                    .alias("max_cos_e6")))
+    return res.unionByName(over)
+
+
+def vec_semdedup_cluster_stats(spark, sf_dir):
+    """Cap observability for the SemDeDup clusters (the twin of
+    ``dedup_minhash_group_stats``): cluster count, how many exceeded the
+    member cap, the largest cluster, and the quadratic pair rows the
+    pivot fallback avoided — the number a production run logs to prove
+    the mega-cluster defense engaged."""
+    g = (_final_assignment(spark, sf_dir)
+         .groupBy("cluster").agg(F.count("*").cast("bigint").alias("n")))
+    over = F.col("n") > _SEMDEDUP_CLUSTER_CAP
+    p = F.lit(_SEMDEDUP_PIVOTS)
+    # over-cap pair rows: each pivot u (rank r_u) pairs with the n - r_u
+    # members above it → p·n - p(p+1)/2; full expansion is n(n-1)/2
+    saved = (F.expr("n * (n - 1) DIV 2")
+             - (p * F.col("n") - F.expr(
+                 f"{_SEMDEDUP_PIVOTS} * ({_SEMDEDUP_PIVOTS} + 1) DIV 2")))
+    return g.agg(
+        F.count("*").cast("bigint").alias("n_clusters"),
+        F.sum(over.cast("bigint")).cast("bigint").alias("n_over_cap"),
+        F.max("n").cast("bigint").alias("max_cluster"),
+        F.sum(F.when(over, saved).otherwise(0)).cast("bigint")
+        .alias("n_pair_rows_saved"))
 
 
 # --- DuckDB twins: the same two Lloyd rounds as unrolled CTEs ----------------
@@ -225,27 +327,66 @@ FROM a2
 """
 
 
-SEMDEDUP_SQL = f"""
+_SEMDEDUP_COS = """floor(list_reduce(list_transform(range(1, {d1}),
+                 i -> (a.qv[i]::DOUBLE / a.nrm)
+                      * (b.qv[i]::DOUBLE / b.nrm)), (x, y) -> x + y)
+               * 1000000.0)::BIGINT""".format(d1=_DIM + 1)
+
+
+def semdedup_sql(cluster_cap: int | None = _SEMDEDUP_CLUSTER_CAP,
+                 pivots: int = _SEMDEDUP_PIVOTS) -> str:
+    """DuckDB twin of ``vec_semdedup_drop`` — the cluster cap + pivot
+    fallback mirrored EXACTLY (count/rank windows per cluster, in-cap
+    full expansion, over-cap keep side restricted to the ``pivots``
+    smallest-id members)."""
+    small_pred = ("" if cluster_cap is None
+                  else f"\n  WHERE a.cn <= {cluster_cap}")
+    big = "" if cluster_cap is None else f"""
+  UNION ALL
+  SELECT a.cluster, a.vec_id AS keep_id, b.vec_id AS drop_id,
+         {_SEMDEDUP_COS} AS cos_e6
+  FROM nq a JOIN nq b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE a.cn > {cluster_cap} AND a.rk <= {pivots}"""
+    return f"""
 WITH {_kmeans_cte()},
 nq AS (
   SELECT vec_id, qv, cluster,
          coalesce(nullif(
            sqrt(list_reduce(list_transform(range(1, {_DIM + 1}),
                 i -> qv[i]::DOUBLE * qv[i]::DOUBLE), (a, b) -> a + b)),
-           0.0), 1.0) AS nrm  -- zero vectors match nothing (Spark twin
-                              -- sets nrm=1.0; 0/0 would NaN here)
+           0.0), 1.0) AS nrm,  -- zero vectors match nothing (Spark twin
+                               -- sets nrm=1.0; 0/0 would NaN here)
+         count(*) OVER (PARTITION BY cluster) AS cn,
+         row_number() OVER (PARTITION BY cluster ORDER BY vec_id) AS rk
   FROM a2),
 pairs AS (
   SELECT a.cluster, a.vec_id AS keep_id, b.vec_id AS drop_id,
-         floor(list_reduce(list_transform(range(1, {_DIM + 1}),
-                 i -> (a.qv[i]::DOUBLE / a.nrm)
-                      * (b.qv[i]::DOUBLE / b.nrm)), (x, y) -> x + y)
-               * 1000000.0)::BIGINT AS cos_e6
-  FROM nq a JOIN nq b ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+         {_SEMDEDUP_COS} AS cos_e6
+  FROM nq a JOIN nq b ON a.cluster = b.cluster
+   AND a.vec_id < b.vec_id{small_pred}{big})
 SELECT cluster::BIGINT AS cluster, drop_id::BIGINT AS drop_id,
        min(keep_id)::BIGINT AS kept_by, max(cos_e6)::BIGINT AS max_cos_e6
 FROM pairs WHERE cos_e6 >= {_SEMDEDUP_MIN_E6}
 GROUP BY cluster, drop_id
+"""
+
+
+SEMDEDUP_SQL = semdedup_sql()
+
+
+SEMDEDUP_CLUSTER_STATS_SQL = f"""
+WITH {_kmeans_cte()},
+g AS (SELECT cluster, count(*)::BIGINT AS n FROM a2 GROUP BY cluster)
+SELECT count(*)::BIGINT AS n_clusters,
+       sum(CASE WHEN n > {_SEMDEDUP_CLUSTER_CAP} THEN 1 ELSE 0 END)::BIGINT
+         AS n_over_cap,
+       max(n)::BIGINT AS max_cluster,
+       sum(CASE WHEN n > {_SEMDEDUP_CLUSTER_CAP}
+                THEN n * (n - 1) // 2
+                     - ({_SEMDEDUP_PIVOTS} * n
+                        - {_SEMDEDUP_PIVOTS} * ({_SEMDEDUP_PIVOTS} + 1) // 2)
+                ELSE 0 END)::BIGINT AS n_pair_rows_saved
+FROM g
 """
 
 
@@ -254,4 +395,6 @@ QUERIES: dict = {}
 DIAGNOSTICS = {
     "vec_kmeans_assign": (vec_kmeans_assign, KMEANS_SQL),
     "vec_semdedup_drop": (vec_semdedup_drop, SEMDEDUP_SQL),
+    "vec_semdedup_cluster_stats": (vec_semdedup_cluster_stats,
+                                   SEMDEDUP_CLUSTER_STATS_SQL),
 }
