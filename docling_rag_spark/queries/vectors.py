@@ -236,52 +236,107 @@ ORDER BY score_e6 DESC, vec_id ASC LIMIT {_TOPK}
 """
 
 
-def vec_neardup_lsh(spark, sf_dir):
+# Per-bucket member cap before the star fallback — the embedding analog of
+# the minhash band cap (queries/dedup.py::_MINHASH_GROUP_CAP): an
+# 8-hyperplane sign-LSH bucket holds an UNBOUNDED mass of identical
+# embeddings (a template farm hashes to one bucket), so the uncapped
+# bucket self-join enumerates m²/2 pairs from a single key. Over-cap
+# buckets degrade to (min-id rep, member) star edges — linear, each still
+# confirmed by the exact cosine, component-equivalent for dedup because a
+# near-identical mass matches its rep.
+_NEARDUP_GROUP_CAP = 1000
+
+
+def vec_neardup_lsh(spark, sf_dir, group_cap: int | None = _NEARDUP_GROUP_CAP):
     """Near-dup pairs with LSH blocking — the production path: candidate
     pairs share an 8-hyperplane bucket (equi-join on a uniform key) instead
     of the O(N²) cross join; exact cosine confirms within the block. At
     10^9 vectors the bucket is the shuffle/partition key, so the join is
-    co-located and the quadratic term is per-bucket only."""
-    emb = _t(spark, sf_dir, "embeddings").select(
+    co-located, and the per-bucket quadratic is bounded by
+    ``_NEARDUP_GROUP_CAP`` (over-cap buckets emit star edges through the
+    bucket's minimum-id member instead of all pairs)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("bucket")
+    mem = (_t(spark, sf_dir, "embeddings").select(
         F.col("vec_id").cast("bigint").alias("vec_id"), "embedding",
         _bucket(F.col("embedding")).alias("bucket"),
         _norm(F.col("embedding")).alias("nrm"))
-    a = emb.select(F.col("vec_id").alias("vec_a"),
-                   F.col("embedding").alias("emb_a"),
-                   F.col("bucket").alias("bucket_a"),
-                   F.col("nrm").alias("nrm_a"))
-    b = emb.select(F.col("vec_id").alias("vec_b"),
-                   F.col("embedding").alias("emb_b"),
-                   F.col("bucket").alias("bucket_b"),
-                   F.col("nrm").alias("nrm_b"))
+        .select("*", F.count("*").over(w).alias("bn"),
+                F.min("vec_id").over(w).alias("rep")))
+
+    def _side(df, tag):
+        return df.select(F.col("vec_id").alias(f"vec_{tag}"),
+                         F.col("embedding").alias(f"emb_{tag}"),
+                         F.col("bucket").alias(f"bucket_{tag}"),
+                         F.col("nrm").alias(f"nrm_{tag}"))
+
     cos = F.floor(_dot(F.col("emb_a"), F.col("emb_b"))
                   / (F.col("nrm_a") * F.col("nrm_b")) * 1000000.0
                   ).cast("bigint")
-    return (a.join(b, (F.col("bucket_a") == F.col("bucket_b"))
-                   & (F.col("vec_a") < F.col("vec_b")))
-            .withColumn("score_e6", cos)
+    small = mem if group_cap is None else mem.filter(
+        F.col("bn") <= group_cap)
+    pairs = (_side(small, "a")
+             .join(_side(small, "b"),
+                   (F.col("bucket_a") == F.col("bucket_b"))
+                   & (F.col("vec_a") < F.col("vec_b"))))
+    if group_cap is not None:
+        reps = _side(mem.filter((F.col("bn") > group_cap)
+                                & (F.col("vec_id") == F.col("rep"))), "a")
+        members = _side(mem.filter((F.col("bn") > group_cap)
+                                   & (F.col("vec_id") != F.col("rep"))),
+                        "b")
+        pairs = pairs.unionByName(
+            reps.join(members, F.col("bucket_a") == F.col("bucket_b")))
+    return (pairs.withColumn("score_e6", cos)
             .filter(F.col("score_e6") >= _NEARDUP_MIN_E6)
             .select("vec_a", "vec_b",
                     F.col("bucket_a").cast("bigint").alias("bucket"),
                     "score_e6"))
 
 
-NEARDUP_LSH_SQL = f"""
+def neardup_lsh_sql(group_cap: int | None = _NEARDUP_GROUP_CAP) -> str:
+    """DuckDB twin of ``vec_neardup_lsh`` — the bucket cap + star-edge
+    fallback mirrored EXACTLY (count/min windows per bucket, in-cap full
+    expansion, over-cap (rep, member) edges; every edge exact-cosine
+    confirmed in both branches)."""
+    cap_pred = "" if group_cap is None else f" AND a.bn <= {group_cap}"
+    star = "" if group_cap is None else f"""
+  UNION ALL
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
+         a.embedding AS emb_a, b.embedding AS emb_b
+  FROM mem a JOIN mem b ON a.bucket = b.bucket
+  WHERE a.bn > {group_cap} AND a.vec_id = a.rep AND b.vec_id <> b.rep"""
+    return f"""
 WITH bucketed AS (
   SELECT vec_id::BIGINT AS vec_id, embedding,
          {_bucket_sql('embedding')} AS bucket
   FROM embeddings
+),
+mem AS (
+  SELECT vec_id, embedding, bucket,
+         count(*) OVER (PARTITION BY bucket) AS bn,
+         min(vec_id) OVER (PARTITION BY bucket) AS rep
+  FROM bucketed
+),
+cand AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
+         a.embedding AS emb_a, b.embedding AS emb_b
+  FROM mem a JOIN mem b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id{cap_pred}{star}
 )
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket::BIGINT AS bucket,
-       floor({_dot_sql('a.embedding', 'b.embedding')}
-             / ({_norm_sql('a.embedding')} * {_norm_sql('b.embedding')})
+SELECT vec_a, vec_b, bucket::BIGINT AS bucket,
+       floor({_dot_sql('emb_a', 'emb_b')}
+             / ({_norm_sql('emb_a')} * {_norm_sql('emb_b')})
              * 1000000.0)::BIGINT AS score_e6
-FROM bucketed a JOIN bucketed b
-  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE floor({_dot_sql('a.embedding', 'b.embedding')}
-            / ({_norm_sql('a.embedding')} * {_norm_sql('b.embedding')})
+FROM cand
+WHERE floor({_dot_sql('emb_a', 'emb_b')}
+            / ({_norm_sql('emb_a')} * {_norm_sql('emb_b')})
             * 1000000.0) >= {_NEARDUP_MIN_E6}
 """
+
+
+NEARDUP_LSH_SQL = neardup_lsh_sql()
 
 
 
