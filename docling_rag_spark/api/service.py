@@ -72,13 +72,26 @@ def search_warehouse(spark: SparkSession, warehouse: str, query: str,
     hits = search_chunks(spark, emb, query, top_k=top_k,
                          allowed_urls=allowed,
                          store_is_empty=chunks.isEmpty())
-    docs = wh.read_table(spark, warehouse, "extracted") \
-        .select("url", "title")
-    meta = chunks.select("url", "chunk_id", "text", "headings",
-                         "page_number", "element_type")
+    # decorate: hits is the small side (<= top_k rows), the registry and
+    # chunk tables are corpus-sized — broadcasting THEM inverts the join
+    # at scale. Prune each dim to the hit keys first (broadcast hash
+    # semi-join: one map-only scan, no shuffle), then the <= k surviving
+    # dim rows are safe to broadcast into the left joins. hits feeds
+    # three consumers, so pin it once (k rows) instead of re-running the
+    # search per branch.
+    from pyspark import StorageLevel
+    hits = hits.persist(StorageLevel.MEMORY_AND_DISK)
+    hit_keys = hits.select("url", "chunk_id")
+    docs = (wh.read_table(spark, warehouse, "extracted")
+            .select("url", "title")
+            .join(F.broadcast(hit_keys.select("url").distinct()),
+                  "url", "left_semi"))
+    meta = (chunks.select("url", "chunk_id", "text", "headings",
+                          "page_number", "element_type")
+            .join(F.broadcast(hit_keys), ["url", "chunk_id"], "left_semi"))
     extra = [F.col("text"), F.col("headings")] if include_text else []
     rows = (hits.join(F.broadcast(docs), "url", "left")
-            .join(meta, ["url", "chunk_id"], "left")
+            .join(F.broadcast(meta), ["url", "chunk_id"], "left")
             .select("url", "chunk_id", F.round("score", 4).alias("score"),
                     "title",
                     F.array_join("headings", " > ").alias("heading_path"),
@@ -87,6 +100,7 @@ def search_warehouse(spark: SparkSession, warehouse: str, query: str,
                     "page_number", "element_type", *extra)
             .orderBy(F.desc("score"), "url", "chunk_id")
             .collect())
+    hits.unpersist()
     if log:
         log_search(warehouse, query, rows[0]["score"] if rows else None)
     return [r.asDict() for r in rows]
