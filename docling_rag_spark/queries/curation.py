@@ -34,7 +34,15 @@ _KMV_K = 256
 _SAMPLE_PCT = 10            # uniform sample rate, percent
 _STRATA_QUOTA = 20          # docs kept per lang stratum
 _SHARD_TOKENS = 20000       # token budget per training shard
-_RANGE = 500                # doc_ids per prefix-sum range
+# doc_ids per prefix-sum range: FLOOR only. The actual range width scales
+# as sqrt(max doc_id) so BOTH phases stay bounded — a fixed width makes
+# the offsets table n/width rows, which at 10^12 docs is a 2x10^9-row
+# SINGLE-PARTITION window (the exact shape the two-phase design exists to
+# avoid). sqrt sizing gives ~10^6 ranges of ~10^6 docs each at 10^12:
+# the within-range window partitions spill-sort locally and the offsets
+# window stays driver-trivial. Shard assignment is invariant to the
+# width (prefix sums are partitioning-free), so the oracle is unchanged.
+_RANGE_MIN = 500
 
 
 def _t(spark, sf_dir, name):
@@ -170,20 +178,28 @@ FROM (
 
 # --- token-budget shard packing ----------------------------------------------
 
-def shard_pack(spark, sf_dir):
+def shard_pack(spark, sf_dir, range_size: int | None = None):
     """Assign docs (in doc_id order) to training shards of ~SHARD_TOKENS
     tokens: shard_id = exclusive-prefix-sum(tokens) div budget — the
     streaming greedy pack every shard writer uses.
 
     The prefix sum is TWO-PHASE, not a single-partition window over the
-    corpus: per-range within-partials (window inside doc_id div RANGE),
-    per-range totals prefix-summed on a ranges-sized table (tiny window),
-    broadcast-joined back. At 10^12 docs the big table never sees a
-    global sort — only its range key."""
+    corpus: per-range within-partials (window inside doc_id div range),
+    per-range totals prefix-summed on a ranges-sized table, broadcast-
+    joined back. The range width is ~sqrt(max doc_id) so BOTH phases are
+    bounded (~10^6 × ~10^6 at 10^12 docs); a fixed width would push the
+    offsets table itself past single-partition size at corpus scale.
+    Shard assignment is width-invariant, so the single-window oracle SQL
+    is unchanged and ``range_size`` stays testable."""
+    import math
+
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         _token_count(F.col("text")).alias("tokens"))
-    rng = F.expr(f"div(doc_id, {_RANGE})")
+    if range_size is None:
+        hi = docs.agg(F.max("doc_id")).first()[0] or 0
+        range_size = max(_RANGE_MIN, math.isqrt(int(hi)) + 1)
+    rng = F.expr(f"div(doc_id, {range_size})")
     within_w = (Window.partitionBy("rng").orderBy("doc_id")
                 .rowsBetween(Window.unboundedPreceding, -1))
     within = (docs.withColumn("rng", rng)

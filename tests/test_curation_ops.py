@@ -35,6 +35,18 @@ def test_shard_pack_invariants(spark):
     assert ordered.is_monotonic_increasing
 
 
+def test_shard_pack_width_invariant(spark):
+    """The two-phase prefix sum must give identical shard assignments at
+    ANY range width (it's a pure prefix sum) — this is what lets the
+    width scale as sqrt(max doc_id) for the 10^12-doc offsets-table bound
+    without touching the single-window oracle."""
+    default = shard_pack(spark, SF_DIR).toPandas().sort_values("doc_id")
+    for width in (7, 500, 10**9):  # sub-sqrt, floor, one-range degenerate
+        alt = (shard_pack(spark, SF_DIR, range_size=width)
+               .toPandas().sort_values("doc_id"))
+        assert alt.values.tolist() == default.values.tolist(), width
+
+
 def test_kmv_exact_when_under_k(spark):
     """n_seen < k means the sketch saw the whole distinct set: the
     estimate must be exactly the true distinct count (here: per-type
